@@ -1,0 +1,66 @@
+"""Stage-2 dataset: (image, raw .npy, stage-1 denoised .npy) triplets.
+
+Rebuilds dvt/dataset/paired_list_dataset.py: image paths from a list file;
+feature paths derived by data_root -> feat_root substitution with
+``denoised_features`` <-> ``raw_features`` swapping (:30-37); a missing
+feature file resamples a random index (:31-32) so partially-finished stage-1
+runs still train.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from dvt_tpu.data.single_image import load_image, resize_image
+
+
+class PairedListDataset:
+    def __init__(
+        self,
+        data_root: str,
+        data_list: str,
+        feat_root: str,
+        input_size: Tuple[int, int] = (518, 518),
+        mean=(0.485, 0.456, 0.406),
+        std=(0.229, 0.224, 0.225),
+        seed: int = 0,
+    ):
+        self.data_root = data_root
+        self.feat_root = feat_root
+        self.input_size = tuple(input_size)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        with open(data_list) as f:
+            self.img_paths = [ln.strip().split(" ")[0] for ln in f if ln.strip()]
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.img_paths)
+
+    def _denoised_path(self, rel: str) -> str:
+        ext = os.path.splitext(rel)[1]
+        return os.path.join(self.feat_root, rel.replace(ext, ".npy"))
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        for _ in range(len(self.img_paths)):
+            rel = self.img_paths[index]
+            denoised_pth = self._denoised_path(rel)
+            if os.path.exists(denoised_pth):
+                break
+            index = int(self._rng.integers(len(self.img_paths)))
+        else:
+            raise FileNotFoundError(
+                f"no stage-1 features found under {self.feat_root}"
+            )
+        raw_pth = denoised_pth.replace("denoised_features", "raw_features")
+        img = load_image(os.path.join(self.data_root, rel))
+        img = resize_image(img, self.input_size).astype(np.float32) / 255.0
+        img = (img - self.mean) / self.std
+        return {
+            "image": img,
+            "original_feats": np.load(raw_pth).squeeze().astype(np.float32),
+            "denoised_feats": np.load(denoised_pth).squeeze().astype(np.float32),
+        }

@@ -1,0 +1,67 @@
+"""Host-side batching + background prefetch to device.
+
+Replaces torch DataLoader(num_workers=8, pin_memory) in the reference mains:
+a thread pool maps ``dataset[i]`` over a sampler's index stream, batches are
+stacked and (optionally) device_put with a sharding while the TPU computes
+the previous step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _stack(batch):
+    out: Dict[str, np.ndarray] = {}
+    for k in batch[0]:
+        vals = [b[k] for b in batch]
+        out[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    """Minimal infinite loader: sampler indices -> threaded fetch -> batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler,
+        num_workers: int = 8,
+        prefetch_depth: int = 2,
+        device_put_fn: Optional[Callable[[Any], Any]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(num_workers, 1)
+        self.prefetch_depth = prefetch_depth
+        self.device_put_fn = device_put_fn
+
+    def __iter__(self) -> Iterator[Any]:
+        idx_iter = iter(self.sampler)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                while not stop.is_set():
+                    idxs = [next(idx_iter) for _ in range(self.batch_size)]
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    batch = _stack(items)
+                    if self.device_put_fn is not None:
+                        batch = self.device_put_fn(batch)
+                    q.put(batch)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,185 @@
+"""Stage-1 end-to-end engine: images in, denoised feature maps out.
+
+Pipeline per image batch (all device-side after one base-image upload each):
+
+  base image --(render_crops: bicubic crop kernel)--> 768 views
+             --(ViT forward, intermediate tap)------> raw features
+             --(jit(vmap(fit_one_image)))-----------> denoised features
+
+vs. the reference (main_img_denoising.py): host-side torchvision crops for
+768 views, H2D copy per view batch, one image per GPU process. Here the only
+host->device traffic is one (518, 518, 3) image; extraction renders + embeds
+in the same XLA program; and N images' 25k-step fits run concurrently per
+chip under vmap.
+
+Output layout matches the reference's .npy dumps (main_img_denoising.py:
+131-143): <save_root>/{raw,denoised}_features/<model>/<rel>.npy, each
+(h, w, C) float32, and the same skip-if-done resume check (misc.py:325-337).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvt_tpu.data.crops import render_crops, view_coordinate_grids
+from dvt_tpu.data.single_image import SingleImagePipeline
+from dvt_tpu.models.vit import ViTWrapper
+from dvt_tpu.stage1 import (
+    Stage1Config,
+    fit_image_batch,
+    make_patch_coordinates,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Stage1Engine:
+    model_identifier: str = "vit_base_patch14_dinov2.lvd142m"
+    stride: int = 14
+    input_size: Tuple[int, int] = (518, 518)
+    layer_depth_ratio: float = 1.0
+    num_views: int = 768
+    num_iters: int = 25000
+    warmup_iters: int = 2500
+    n_levels: int = 16
+    pixel_bsz: int = 2048
+    extract_bsz: int = 32
+    images_per_batch: int = 4  # vmap width for the fit
+    feature_dtype: str = "bfloat16"  # pool storage dtype
+    vit_dtype: str = "bfloat16"
+    vit_params: Optional[dict] = None
+    checkpoint_path: Optional[str] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.vit = ViTWrapper(
+            self.model_identifier,
+            stride=self.stride,
+            params=self.vit_params,
+            checkpoint_path=self.checkpoint_path,
+            dtype=jnp.dtype(self.vit_dtype),
+            seed=self.seed,
+        )
+        self.layer_index = int(
+            self.layer_depth_ratio * self.vit.last_layer_index
+        )
+        gh, gw = self.vit.feat_grid(*self.input_size)
+        self.feat_hw = (gh, gw)
+        self.cfg = Stage1Config(
+            feat_dim=self.vit.n_output_dims,
+            noise_map_height=gh,
+            noise_map_width=gw,
+            n_levels=self.n_levels,
+            num_views=self.num_views,
+            num_iters=self.num_iters,
+            warmup_iters=self.warmup_iters,
+            pixel_bsz=self.pixel_bsz,
+        )
+        self.pipeline = SingleImagePipeline(
+            size=self.input_size,
+            num_views=self.num_views,
+            mean=self.vit.cfg.mean,
+            std=self.vit.cfg.std,
+            seed=self.seed,
+        )
+        self._pool_dtype = jnp.dtype(self.feature_dtype)
+        self._extract = jax.jit(self._extract_chunk)
+
+    # --- device-side extraction: render crops + ViT forward, one program ---
+    def _extract_chunk(self, params, base: Array, boxes: Array, flips: Array):
+        views = render_crops(base, boxes, flips, self.input_size)
+        feats = self.vit.module.apply(
+            {"params": params},
+            views.astype(jnp.dtype(self.vit_dtype)),
+            indices=[self.layer_index],
+            norm=True,
+        )[-1]
+        coords = view_coordinate_grids(
+            boxes, flips, self.feat_hw, self.input_size
+        )
+        return feats.astype(self._pool_dtype), coords
+
+    def _full_image_features(self, params, base: Array):
+        feats = self.vit.module.apply(
+            {"params": params},
+            base[None].astype(jnp.dtype(self.vit_dtype)),
+            indices=[self.layer_index],
+            norm=True,
+        )[-1]
+        return feats[0].astype(self._pool_dtype)
+
+    def extract_image(self, path_or_array):
+        """-> (raw_features (V+1, h, w, C), coords (V+1, h, w, 2)) on device."""
+        base_np, boxes, flips = self.pipeline.prepare(path_or_array)
+        base = jnp.asarray(base_np)
+        feats_chunks, coords_chunks = [], []
+        for s in range(0, self.num_views, self.extract_bsz):
+            e = min(s + self.extract_bsz, self.num_views)
+            f, c = self._extract(
+                self.vit.params,
+                base,
+                jnp.asarray(boxes[s:e]),
+                jnp.asarray(flips[s:e]),
+            )
+            feats_chunks.append(f)
+            coords_chunks.append(c.astype(jnp.float32))
+        full = self._full_image_features(self.vit.params, base)
+        full_coords = make_patch_coordinates(*self.feat_hw, 0.0, 1.0)
+        feats = jnp.concatenate(feats_chunks + [full[None]], axis=0)
+        coords = jnp.concatenate(
+            coords_chunks + [full_coords[None]], axis=0
+        )
+        return feats, coords
+
+    def denoise_batch(self, inputs: Sequence) -> Tuple[np.ndarray, np.ndarray, dict]:
+        """Fit a batch of images concurrently.
+
+        inputs: paths or arrays (<= images_per_batch).
+        Returns (raw (N, h, w, C), denoised (N, h, w, C), metrics).
+        """
+        feats, coords = [], []
+        for item in inputs:
+            f, c = self.extract_image(item)
+            feats.append(f)
+            coords.append(c)
+        raw_b = jnp.stack(feats)
+        crd_b = jnp.stack(coords)
+        keys = jax.random.split(
+            jax.random.PRNGKey(self.seed), len(inputs)
+        )
+        denoised, metrics = fit_image_batch(keys, raw_b, crd_b, self.cfg)
+        raw_full = np.asarray(raw_b[:, -1].astype(jnp.float32))
+        return raw_full, np.asarray(denoised), jax.tree.map(np.asarray, metrics)
+
+    # --- filesystem interface (stage-1 -> stage-2 contract) ---
+    def feature_paths(self, save_root: str, data_root: str, img_path: str):
+        ext = os.path.splitext(img_path)[1]
+        raw_dir = os.path.join(save_root, "raw_features", self.model_identifier)
+        den_dir = os.path.join(
+            save_root, "denoised_features", self.model_identifier
+        )
+        rel = os.path.relpath(img_path, data_root) if data_root else os.path.basename(img_path)
+        rel = rel.replace(ext, ".npy")
+        return os.path.join(raw_dir, rel), os.path.join(den_dir, rel)
+
+    def already_done(self, save_root: str, data_root: str, img_path: str) -> bool:
+        raw_p, den_p = self.feature_paths(save_root, data_root, img_path)
+        return os.path.isfile(raw_p) and os.path.isfile(den_p)
+
+    def save_features(self, save_root: str, data_root: str, img_path: str,
+                      raw: np.ndarray, denoised: np.ndarray):
+        raw_p, den_p = self.feature_paths(save_root, data_root, img_path)
+        os.makedirs(os.path.dirname(raw_p), exist_ok=True)
+        os.makedirs(os.path.dirname(den_p), exist_ok=True)
+        np.save(raw_p, raw.astype(np.float32))
+        np.save(den_p, denoised.astype(np.float32))
+        return raw_p, den_p

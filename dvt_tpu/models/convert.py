@@ -1,0 +1,138 @@
+"""Torch checkpoint conversion: timm/DVT ``.pth`` state dicts -> our pytrees.
+
+The reference consumes timm-pretrained backbones and publishes torch
+checkpoints in 4 flavors (README.md:153-161). This module maps those state
+dicts onto the parameter structure of dvt_tpu.models.vit / online_denoiser:
+
+  torch Linear  (out, in)        -> flax Dense kernel (in, out)
+  torch Conv2d  (out, in, kh, kw)-> flax Conv kernel  (kh, kw, in, out)
+  torch LayerNorm weight/bias    -> flax scale/bias
+
+Only structural mapping happens here - no numerics - so it runs on CPU with
+the baked-in torch and needs no timm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from dvt_tpu.models.zoo import ViTConfig
+
+
+def _t(x) -> np.ndarray:
+    import torch
+
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _set(tree: Dict[str, Any], path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _linear(tree, dst, sd, src):
+    _set(tree, f"{dst}/kernel", _t(sd[f"{src}.weight"]).T)
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+
+def _layernorm(tree, dst, sd, src):
+    _set(tree, f"{dst}/scale", _t(sd[f"{src}.weight"]))
+    _set(tree, f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+
+def convert_vit_state_dict(
+    sd: Mapping[str, Any], cfg: ViTConfig, prefix: str = ""
+) -> Dict[str, Any]:
+    """Convert a timm VisionTransformer/Eva state dict to our ViT params."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    # The reference's PretrainedViTWrapper nests the timm model at "model."
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    p: Dict[str, Any] = {}
+    w = _t(sd["patch_embed.proj.weight"])  # (C, 3, kh, kw)
+    _set(p, "patch_embed/kernel", np.transpose(w, (2, 3, 1, 0)))
+    _set(p, "patch_embed/bias", _t(sd["patch_embed.proj.bias"]))
+    _set(p, "pos_embed", _t(sd["pos_embed"]))
+    if cfg.class_token:
+        _set(p, "cls_token", _t(sd["cls_token"]))
+    if cfg.reg_tokens:
+        _set(p, "reg_token", _t(sd["reg_token"]))
+    if cfg.pre_norm and "norm_pre.weight" in sd:
+        _layernorm(p, "norm_pre", sd, "norm_pre")
+
+    for i in range(cfg.depth):
+        b = f"blocks.{i}"
+        d = f"blocks_{i}"
+        _layernorm(p, f"{d}/norm1", sd, f"{b}.norm1")
+        _layernorm(p, f"{d}/norm2", sd, f"{b}.norm2")
+        if cfg.eva_arch:
+            _linear(p, f"{d}/attn/q_proj", sd, f"{b}.attn.q_proj")
+            _linear(p, f"{d}/attn/k_proj", sd, f"{b}.attn.k_proj")
+            _linear(p, f"{d}/attn/v_proj", sd, f"{b}.attn.v_proj")
+            _linear(p, f"{d}/attn/proj", sd, f"{b}.attn.proj")
+            _linear(p, f"{d}/mlp/fc1_g", sd, f"{b}.mlp.fc1_g")
+            _linear(p, f"{d}/mlp/fc1_x", sd, f"{b}.mlp.fc1_x")
+            _layernorm(p, f"{d}/mlp/norm", sd, f"{b}.mlp.norm")
+            _linear(p, f"{d}/mlp/fc2", sd, f"{b}.mlp.fc2")
+        else:
+            _linear(p, f"{d}/attn/qkv", sd, f"{b}.attn.qkv")
+            _linear(p, f"{d}/attn/proj", sd, f"{b}.attn.proj")
+            _linear(p, f"{d}/mlp/fc1", sd, f"{b}.mlp.fc1")
+            _linear(p, f"{d}/mlp/fc2", sd, f"{b}.mlp.fc2")
+        if cfg.init_values is not None:
+            _set(p, f"{d}/ls1/gamma", _t(sd[f"{b}.ls1.gamma"]))
+            _set(p, f"{d}/ls2/gamma", _t(sd[f"{b}.ls2.gamma"]))
+    _layernorm(p, "norm", sd, "norm")
+    return p
+
+
+def convert_denoiser_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert the reference stage-2 ``{"denoiser": ...}`` payload
+    (main_denoiser.py:239-264, timm Block names) to Denoiser params."""
+    sd = {k: v for k, v in sd.items() if not k.startswith("vit.")}
+    p: Dict[str, Any] = {}
+    if "pos_embed" in sd:
+        _set(p, "pos_embed", _t(sd["pos_embed"]))
+    # single-block checkpoints use "denoiser.<sub>", multi-block "denoiser.N.<sub>"
+    block_keys = [k for k in sd if k.startswith("denoiser.")]
+    multi = any(k.split(".")[1].isdigit() for k in block_keys)
+
+    def blocks():
+        if multi:
+            ids = sorted({int(k.split(".")[1]) for k in block_keys})
+            for i in ids:
+                yield i, f"denoiser.{i}"
+        else:
+            yield 0, "denoiser"
+
+    for i, b in blocks():
+        d = f"blocks_{i}"
+        _layernorm(p, f"{d}/norm1", sd, f"{b}.norm1")
+        _layernorm(p, f"{d}/norm2", sd, f"{b}.norm2")
+        _linear(p, f"{d}/attn/qkv", sd, f"{b}.attn.qkv")
+        _linear(p, f"{d}/attn/proj", sd, f"{b}.attn.proj")
+        _linear(p, f"{d}/mlp/fc1", sd, f"{b}.mlp.fc1")
+        _linear(p, f"{d}/mlp/fc2", sd, f"{b}.mlp.fc2")
+    return p
+
+
+def load_torch_vit_checkpoint(path: str, cfg: ViTConfig) -> Dict[str, Any]:
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict):
+        for key in ("model", "state_dict", "module"):
+            if key in payload and isinstance(payload[key], dict):
+                payload = payload[key]
+                break
+    return convert_vit_state_dict(payload, cfg)

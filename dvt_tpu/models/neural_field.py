@@ -1,0 +1,54 @@
+"""Neural feature field: 2-D coords in [0,1] -> C-dim clean features.
+
+TPU-native counterpart of the reference's ``NeuralFeatureField``
+(dvt/models/neural_feature_field.py): a multiresolution hash-grid encoding
+(ops/hash_encoding.py replaces the tiny-cuda-nn CUDA kernel) followed by a
+2-layer MLP Linear(L*F -> C/2) - ReLU - Linear(C/2 -> C).
+
+Built as a linen module so a whole batch of independent per-image fields is
+just a vmapped parameter pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dvt_tpu.ops.hash_encoding import HashGridSpec, hash_encode
+
+
+def default_hash_spec(n_levels: int = 16) -> HashGridSpec:
+    """Stage-1 default grid: matches main_img_denoising.py:183 + the
+    reference encoding config (neural_feature_field.py:25-39)."""
+    return HashGridSpec(
+        n_levels=n_levels,
+        n_features=8,
+        log2_hashmap_size=20,
+        base_resolution=16,
+        max_resolution=1024,
+    )
+
+
+class NeuralFeatureField(nn.Module):
+    feat_dim: int = 768
+    spec: HashGridSpec = HashGridSpec()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords: jax.Array) -> jax.Array:
+        """coords (..., 2) in [0, 1] -> (..., feat_dim) features."""
+        table = self.param(
+            "table",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, minval=-1e-4, maxval=1e-4
+            ),
+            (self.spec.total_entries, self.spec.n_features),
+        )
+        enc = hash_encode(table, coords, self.spec).astype(self.dtype)
+        x = nn.Dense(self.feat_dim // 2, dtype=self.dtype, name="mlp_0")(enc)
+        x = nn.relu(x)
+        x = nn.Dense(self.feat_dim, dtype=self.dtype, name="mlp_2")(x)
+        return x

@@ -1,0 +1,166 @@
+"""Multiresolution hash-grid encoding (instant-ngp style) in pure XLA.
+
+TPU-native replacement for the tiny-cuda-nn ``HashGrid`` encoding the
+reference uses as its stage-1 hot kernel (dvt/models/neural_feature_field.py:
+25-39): L levels of 2-D feature grids with geometrically increasing
+resolution; fine levels are stored in a fixed-size hash table indexed by the
+XOR-prime spatial hash of the cell corner; features at the four cell corners
+are bilinearly blended and the per-level results concatenated.
+
+Design notes (TPU-first):
+  * The whole encoding is expressed as gathers from one flat
+    ``(total_entries, F)`` table, so the backward pass is XLA's native
+    scatter-add - no atomics needed - and the op ``vmap``s over a leading
+    table axis, letting many independent per-image fields train on one chip.
+  * Level geometry is static Python, so under ``jit`` every level's index
+    arithmetic constant-folds; only the gathers remain.
+  * A Pallas kernel with the same signature can be swapped in for the
+    gather/scatter once profiling justifies it (see ops/hash_encoding_pallas).
+
+Deviation from tcnn: we use the paper's ``pos = x * N_l`` vertex mapping with
+corner clamping instead of tcnn's ``x * scale + 0.5`` offset; stage 1 trains
+these tables from scratch, so only functional equivalence matters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# tcnn's coherent prime hash for 2-D inputs: x * 1 XOR y * 2654435761.
+_HASH_PRIME_Y = 2654435761
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static geometry of a multiresolution hash grid (2-D input)."""
+
+    n_levels: int = 16
+    n_features: int = 8
+    log2_hashmap_size: int = 20
+    base_resolution: int = 16
+    max_resolution: int = 1024
+
+    @property
+    def per_level_scale(self) -> float:
+        if self.n_levels == 1:
+            return 1.0
+        return math.exp(
+            (math.log(self.max_resolution) - math.log(self.base_resolution))
+            / (self.n_levels - 1)
+        )
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        b = self.per_level_scale
+        return tuple(
+            int(math.floor(self.base_resolution * (b**l))) for l in range(self.n_levels)
+        )
+
+    @property
+    def hashmap_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Entries per level: dense (N+1)^2 when it fits, else the hash table size."""
+        sizes = []
+        for res in self.resolutions:
+            dense = (res + 1) ** 2
+            sizes.append(dense if dense <= self.hashmap_size else self.hashmap_size)
+        return tuple(sizes)
+
+    @property
+    def level_offsets(self) -> Tuple[int, ...]:
+        offs, acc = [], 0
+        for s in self.level_sizes:
+            offs.append(acc)
+            acc += s
+        return tuple(offs)
+
+    @property
+    def total_entries(self) -> int:
+        return sum(self.level_sizes)
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features
+
+
+def init_hash_table(
+    key: jax.Array, spec: HashGridSpec, dtype=jnp.float32
+) -> jax.Array:
+    """tcnn-style init: U(-1e-4, 1e-4) over the flat table."""
+    return jax.random.uniform(
+        key, (spec.total_entries, spec.n_features), dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _level_indices_weights(coords, res: int, size: int):
+    """Corner indices (within-level) and bilinear weights for one level.
+
+    coords: (N, 2) in [0, 1].  Returns idx (N, 4) int32, w (N, 4) f32.
+    """
+    pos = coords * res  # vertices live at 0..res
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+    p0 = p0.astype(jnp.int32)
+
+    # 4 corners; clamp keeps x=1.0 exact (clamped corner gets zero weight).
+    cx = jnp.stack([p0[:, 0], p0[:, 0] + 1, p0[:, 0], p0[:, 0] + 1], axis=1)
+    cy = jnp.stack([p0[:, 1], p0[:, 1], p0[:, 1] + 1, p0[:, 1] + 1], axis=1)
+    cx = jnp.clip(cx, 0, res)
+    cy = jnp.clip(cy, 0, res)
+
+    wx = frac[:, 0:1]
+    wy = frac[:, 1:2]
+    w = jnp.concatenate(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=1
+    )
+
+    dense = (res + 1) ** 2
+    if dense <= size:
+        idx = cy * (res + 1) + cx
+    else:
+        h = jnp.bitwise_xor(
+            cx.astype(jnp.uint32),
+            cy.astype(jnp.uint32) * jnp.uint32(_HASH_PRIME_Y),
+        )
+        # hashed levels always have power-of-two size
+        idx = jnp.bitwise_and(h, jnp.uint32(size - 1)).astype(jnp.int32)
+    return idx, w
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """Encode coordinates through the multiresolution hash grid.
+
+    Args:
+      table: (spec.total_entries, spec.n_features) parameter table.
+      coords: (..., 2) coordinates in [0, 1].
+      spec: static grid geometry.
+
+    Returns:
+      (..., n_levels * n_features) encoded features, in table dtype.
+    """
+    batch_shape = coords.shape[:-1]
+    flat = coords.reshape(-1, 2).astype(jnp.float32)
+
+    idx_all, w_all = [], []
+    for res, size, off in zip(spec.resolutions, spec.level_sizes, spec.level_offsets):
+        idx, w = _level_indices_weights(flat, res, size)
+        idx_all.append(idx + off)
+        w_all.append(w)
+    # (N, L, 4)
+    idx = jnp.stack(idx_all, axis=1)
+    w = jnp.stack(w_all, axis=1)
+
+    feats = jnp.take(table, idx, axis=0)  # (N, L, 4, F)
+    out = jnp.sum(feats * w[..., None].astype(table.dtype), axis=2)  # (N, L, F)
+    out = out.reshape(*batch_shape, spec.n_output_dims)
+    return out

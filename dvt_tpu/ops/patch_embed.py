@@ -1,0 +1,82 @@
+"""Strided patch embedding as im2col + matmul.
+
+The reference overrides the patch-embed conv stride (vit_wrapper.py:78-79),
+producing overlapping patches (stride < kernel). Instead of a strided conv,
+we tile the image at g = gcd(patch, stride) granularity with static slices
+and assemble the (B, gh, gw, P*P*3) window tensor, then hit the MXU with one
+large matmul. This is exact data movement (no low-precision conv lowering),
+compiles fast, and turns the embedding into the kind of big batched matmul
+TPUs are built for.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def extract_patches(x: Array, patch: int, stride: int) -> Array:
+    """(B, H, W, C) -> (B, gh, gw, patch*patch*C) overlapping windows.
+
+    gh = (H - patch) // stride + 1 (VALID; reference dynamic_feat_size
+    semantics, vit_wrapper.py:81-91).
+    """
+    b, h, w, c = x.shape
+    gh = (h - patch) // stride + 1
+    gw = (w - patch) // stride + 1
+    g = math.gcd(patch, stride)
+    k = patch // g  # subtiles per patch side
+    step = stride // g  # patch pitch in tile units
+
+    # crop to the pixels VALID conv would read, in whole tiles
+    need_h = (gh - 1) * stride + patch
+    need_w = (gw - 1) * stride + patch
+    x = x[:, :need_h, :need_w, :]
+    mh, mw = need_h // g, need_w // g
+    tiles = x.reshape(b, mh, g, mw, g, c)
+
+    rows = []
+    for u in range(k):
+        cols = []
+        for v in range(k):
+            sl = tiles[
+                :,
+                u : u + (gh - 1) * step + 1 : step,
+                :,
+                v : v + (gw - 1) * step + 1 : step,
+                :,
+                :,
+            ]  # (B, gh, g, gw, g, C)
+            cols.append(sl)
+        # assemble the v axis: (B, gh, g, gw, k, g, C)
+        rows.append(jnp.stack(cols, axis=4))
+    # (B, gh, k, g, gw, k, g, C)
+    win = jnp.stack(rows, axis=2)
+    # -> (B, gh, gw, k, g, k, g, C)
+    win = jnp.moveaxis(win, 4, 2)
+    win = win.reshape(b, gh, gw, patch, patch, c)
+    return win.reshape(b, gh, gw, patch * patch * c)
+
+
+def patch_embed(x: Array, kernel: Array, bias: Array, stride: int,
+                precision=None, out_dtype=None) -> Array:
+    """Apply a conv-layout (P, P, C, D) kernel as im2col + matmul."""
+    p = kernel.shape[0]
+    windows = extract_patches(x, p, stride)
+    d = kernel.shape[-1]
+    wmat = kernel.reshape(-1, d)
+    if out_dtype is not None:
+        windows = windows.astype(out_dtype)
+        wmat = wmat.astype(out_dtype)
+        bias = bias.astype(out_dtype)
+    out = jax.lax.dot_general(
+        windows, wmat,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        precision=precision,
+    )
+    return out + bias

@@ -1,0 +1,3 @@
+from dvt_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+
+__all__ = ["make_mesh", "data_sharding", "replicated"]

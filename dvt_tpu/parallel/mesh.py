@@ -1,0 +1,75 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's distributed story is NCCL DDP over 8 GPUs (dvt/utils/misc.py:
+53-91). The TPU-native equivalent is a single ``jax.sharding.Mesh`` with a
+``data`` axis (and an optional ``model`` axis for tensor-parallel shardings of
+larger backbones); gradient and metric reductions become XLA collectives that
+ride ICI, inserted automatically from sharding annotations - no hand-rolled
+process groups or comm hooks.
+
+Multi-host: call ``initialize_distributed()`` once per process; the mesh then
+spans all global devices (DP over DCN across slices is expressed by the same
+axis - XLA picks the transport).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host init (the TPU analogue of misc.init_distributed_mode).
+
+    On TPU pods the arguments come from the environment, so bare
+    ``jax.distributed.initialize()`` suffices; explicit args support GPU/CPU
+    clusters. Safe to skip for single-process runs.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``data=None`` consumes all remaining devices. model=1 collapses to pure
+    data parallelism (the reference's only strategy; SURVEY.md 2.10).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading axis over 'data'; remaining axes replicated."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
+    )

@@ -1,0 +1,178 @@
+"""Stage 3: distill denoised features back into the backbone.
+
+Reference: main_distillation.py - teacher = frozen (ViT + stage-2 denoiser),
+student = the same ViT trained so its last-layer features match the teacher's
+denoised output (MSE + 1-cos), over ImageNet with DDP.
+
+TPU design: one jitted SPMD step over the mesh. Teacher and student both run
+inside the step (the teacher under stop_gradient), so the heaviest stage is a
+single XLA program: two ViT forwards + one backward, batch-sharded on 'data',
+optionally tensor-parallel over 'model' for large backbones, with
+``jax.checkpoint`` on blocks standing in for torch grad checkpointing
+(main_distillation.py:150-152).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dvt_tpu.models.online_denoiser import Denoiser
+from dvt_tpu.models.vit import VisionTransformer
+from dvt_tpu.models.zoo import ViTConfig, get_model_config
+from dvt_tpu.parallel.sharding import param_shardings, shard_params
+from dvt_tpu.stage2 import denoise_loss
+from dvt_tpu.train.optim import make_adamw, sqrt_scaled_lr
+from dvt_tpu.train.schedules import cosine_schedule
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage3Config:
+    model: str = "vit_base_patch14_dinov2.lvd142m"
+    stride: int = 14
+    input_size: int = 518
+    num_blocks: int = 1
+    num_iterations: int = 100_000
+    blr: float = 2.0e-4
+    min_lr: float = 1.0e-6
+    weight_decay: float = 1e-5
+    warmup_frac: float = 0.15
+    global_batch_size: int = 256
+    grad_checkpointing: bool = False
+    tensor_parallel: bool = False
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def vit_cfg(self) -> ViTConfig:
+        return get_model_config(self.model)
+
+    @property
+    def feat_grid(self):
+        p = self.vit_cfg.patch_size
+        g = (self.input_size - p) // self.stride + 1
+        return (g, g)
+
+    @property
+    def lr(self) -> float:
+        return sqrt_scaled_lr(self.blr, self.global_batch_size)
+
+    @property
+    def warmup_iters(self) -> int:
+        return int(self.num_iterations * self.warmup_frac)
+
+
+class Stage3Trainer:
+    """Distillation over the mesh.
+
+    State: student params (trainable). Teacher params (ViT + denoiser) are
+    captured as frozen inputs. The student's forward taps the last layer with
+    norm=True, exactly like model.forward = get_intermediate_layers in the
+    reference (main_distillation.py:158-160).
+    """
+
+    def __init__(
+        self,
+        cfg: Stage3Config,
+        mesh,
+        student_params,
+        teacher_vit_params,
+        denoiser_params,
+        seed: int = 42,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        vit_cfg = cfg.vit_cfg
+        self.vit = VisionTransformer(
+            vit_cfg,
+            stride=cfg.stride,
+            dtype=cfg.compute_dtype,
+            remat=cfg.grad_checkpointing,
+        )
+        gh, gw = cfg.feat_grid
+        self.denoiser = Denoiser(
+            noise_map_height=gh,
+            noise_map_width=gw,
+            feat_dim=vit_cfg.embed_dim,
+            num_blocks=cfg.num_blocks,
+            dtype=cfg.compute_dtype,
+        )
+        self.schedule = cosine_schedule(
+            cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
+        )
+        self.tx = make_adamw(self.schedule, cfg.weight_decay)
+
+        tp = cfg.tensor_parallel
+        student_params = shard_params(mesh, student_params, tp)
+        opt_state = self.tx.init(student_params)
+        self.state = {
+            "params": student_params,
+            "opt_state": opt_state,
+            "step": jax.device_put(
+                jnp.zeros((), jnp.int32), NamedSharding(mesh, P())
+            ),
+        }
+        self.teacher = {
+            "vit": shard_params(mesh, teacher_vit_params, tp),
+            "denoiser": shard_params(mesh, denoiser_params, False),
+        }
+
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        state_sh = {
+            "params": param_shardings(mesh, student_params, tp),
+            "opt_state": jax.tree.map(
+                lambda _: repl, opt_state,
+                is_leaf=lambda x: isinstance(x, jax.Array),
+            ),
+            "step": repl,
+        }
+        teacher_sh = {
+            "vit": param_shardings(mesh, teacher_vit_params, tp),
+            "denoiser": param_shardings(mesh, denoiser_params, False),
+        }
+        self._step = jax.jit(
+            self._train_step,
+            in_shardings=(state_sh, teacher_sh, data_sh),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,),
+        )
+
+    def _student_feats(self, params, images):
+        return self.vit.apply({"params": params}, images, norm=True)[-1]
+
+    def _teacher_feats(self, teacher, images):
+        raw = self.vit.apply({"params": teacher["vit"]}, images, norm=True)[-1]
+        den = self.denoiser.apply({"params": teacher["denoiser"]}, raw)
+        return jax.lax.stop_gradient(den)
+
+    def _train_step(self, state, teacher, images):
+        images = images.astype(self.cfg.compute_dtype)
+        target = self._teacher_feats(teacher, images)
+
+        def loss_fn(params):
+            pred = self._student_feats(params, images)
+            return denoise_loss(pred, target)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt_state = self.tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        metrics["lr"] = self.schedule(state["step"])
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            metrics,
+        )
+
+    def train_step(self, images: Array) -> Dict[str, Array]:
+        self.state, metrics = self._step(self.state, self.teacher, images)
+        return metrics

@@ -1,0 +1,34 @@
+"""Optimizers for stages 2/3.
+
+Reference recipe (main_denoiser.py:176-190, main_distillation.py:199-215):
+AdamW(betas=(0.9, 0.999), weight_decay=1e-5), lr = blr * sqrt(global_bs/256),
+CosineScheduler with 15% warmup. bf16 grads are fine on TPU; master params
+stay fp32 in the optax state (no GradScaler needed - SURVEY.md 2.9).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def sqrt_scaled_lr(blr: float, global_batch_size: int) -> float:
+    """blr * sqrt(total_bs / 256) (main_denoiser.py:176)."""
+    return blr * math.sqrt(global_batch_size / 256.0)
+
+
+def make_adamw(
+    schedule: Callable,
+    weight_decay: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float | None = None,
+) -> optax.GradientTransformation:
+    tx = optax.adamw(
+        learning_rate=schedule, b1=b1, b2=b2, weight_decay=weight_decay
+    )
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx

@@ -1,0 +1,141 @@
+"""DVT Stage 1 CLI: per-image feature denoising.
+
+TPU-native counterpart of the reference's main_img_denoising.py: same flag
+surface (model/stride/layer_depth_ratio/num_views/num_iters/lr schedule/
+start_idx+num_imgs sharding/skip-if-done resume) but the execution model is
+jit(vmap(fit)): `--images_per_batch` images are fitted concurrently per chip
+instead of one image per GPU process (sample_scripts/stage1.sh).
+"""
+
+import argparse
+import glob
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+import dvt_tpu.models.zoo as zoo
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="DVT Stage-1 (TPU)")
+    p.add_argument("--model", type=str,
+                   default="vit_base_patch14_dinov2.lvd142m",
+                   choices=zoo.MODEL_LIST)
+    p.add_argument("--input_size", type=int, default=518, nargs="+")
+    p.add_argument("--stride_size", type=int, default=14)
+    p.add_argument("--layer_depth_ratio", type=float, default=1.0)
+    p.add_argument("--img_path", type=str, default=None,
+                   help="image file, list .txt, or directory")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--save_root", type=str, default=None)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--num_imgs", type=int, default=100)
+    p.add_argument("--num_views", type=int, default=768)
+    p.add_argument("--num_iters", type=int, default=25000)
+    p.add_argument("--warmup_iters", type=int, default=2500)
+    p.add_argument("--n_levels", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--min_lr", type=float, default=0.001)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--extract_bsz", type=int, default=32)
+    p.add_argument("--pixel_bsz", type=int, default=2048)
+    p.add_argument("--images_per_batch", type=int, default=4,
+                   help="images fitted concurrently per chip (vmap width)")
+    p.add_argument("--checkpoint_path", type=str, default=None,
+                   help="torch .pth backbone weights to convert+load")
+    p.add_argument("--feature_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--output_dir", type=str, default="./work_dirs/demo")
+    p.add_argument("--vis_freq", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    if isinstance(args.input_size, int):
+        args.input_size = (args.input_size, args.input_size)
+    else:
+        args.input_size = tuple(args.input_size[:2]) if len(args.input_size) > 1 \
+            else (args.input_size[0], args.input_size[0])
+    return args
+
+
+def collect_filenames(args):
+    if args.img_path is None:
+        raise SystemExit("--img_path is required")
+    if os.path.isfile(args.img_path):
+        if args.img_path.endswith("txt"):
+            with open(args.img_path) as f:
+                names = [ln.strip().split(" ")[0] for ln in f if ln.strip()]
+        else:
+            names = [args.img_path]
+    else:
+        names = sorted(
+            glob.glob(os.path.join(args.img_path, "**/*"), recursive=True)
+        )
+        names = [n for n in names if os.path.isfile(n)]
+    return names[args.start_idx : args.start_idx + args.num_imgs]
+
+
+def main():
+    args = get_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"Arguments:\n{json.dumps(vars(args), indent=2)}")
+
+    from dvt_tpu.engine import Stage1Engine
+
+    engine = Stage1Engine(
+        model_identifier=args.model,
+        stride=args.stride_size,
+        input_size=args.input_size,
+        layer_depth_ratio=args.layer_depth_ratio,
+        num_views=args.num_views,
+        num_iters=args.num_iters,
+        warmup_iters=args.warmup_iters,
+        n_levels=args.n_levels,
+        pixel_bsz=args.pixel_bsz,
+        extract_bsz=args.extract_bsz,
+        images_per_batch=args.images_per_batch,
+        feature_dtype=args.feature_dtype,
+        checkpoint_path=args.checkpoint_path,
+        seed=args.seed,
+    )
+
+    filenames = collect_filenames(args)
+    todo = []
+    for name in filenames:
+        full = os.path.join(args.data_root, name) if args.data_root else name
+        if args.save_root and engine.already_done(
+            args.save_root, args.data_root or "", full
+        ):
+            print(f"Skipping {full}")
+            continue
+        todo.append(full)
+
+    start = time.time()
+    done = 0
+    for s in range(0, len(todo), args.images_per_batch):
+        batch = todo[s : s + args.images_per_batch]
+        t0 = time.time()
+        raw, denoised, metrics = engine.denoise_batch(batch)
+        dt = time.time() - t0
+        done += len(batch)
+        for i, path in enumerate(batch):
+            if args.save_root:
+                engine.save_features(
+                    args.save_root, args.data_root or "", path,
+                    raw[i], denoised[i],
+                )
+        cos = float(np.mean(metrics["final_recon_cos"]))
+        eta = (time.time() - start) / done * (len(todo) - done)
+        print(
+            f"[{done}/{len(todo)}] batch {dt:.1f}s "
+            f"({dt / len(batch):.2f}s/img) recon_cos={cos:.4f} "
+            f"ETA {eta / 60:.1f}min"
+        )
+    print(f"Total: {time.time() - start:.1f}s for {done} images")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""ViT backbone tests: shapes, taps, and numerical parity against an
+independent torch implementation of the timm forward semantics the reference
+relies on (strided patch embed + dynamic pos-embed resample + pre-LN blocks +
+final-norm'd intermediates; see SURVEY.md 3.5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dvt_tpu.models.convert import convert_vit_state_dict
+from dvt_tpu.models.vit import VisionTransformer, ViTWrapper
+from dvt_tpu.models.zoo import ViTConfig, get_model_config
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        name="tiny_test",
+        embed_dim=64,
+        depth=2,
+        num_heads=2,
+        patch_size=8,
+        pretrain_img_size=32,
+        norm_eps=1e-6,
+    )
+    base.update(kw)
+    return ViTConfig(**base)
+
+
+def make_torch_state_dict(cfg: ViTConfig, seed=0):
+    """Random weights in timm naming/layout."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd["patch_embed.proj.weight"] = r(cfg.embed_dim, 3, cfg.patch_size, cfg.patch_size)
+    sd["patch_embed.proj.bias"] = r(cfg.embed_dim)
+    sd["pos_embed"] = r(1, cfg.num_pos_tokens, cfg.embed_dim)
+    if cfg.class_token:
+        sd["cls_token"] = r(1, 1, cfg.embed_dim)
+    if cfg.reg_tokens:
+        sd["reg_token"] = r(1, cfg.reg_tokens, cfg.embed_dim)
+    for i in range(cfg.depth):
+        b = f"blocks.{i}"
+        d = cfg.embed_dim
+        hidden = int(d * cfg.mlp_ratio)
+        sd[f"{b}.norm1.weight"] = 1 + 0.1 * r(d)
+        sd[f"{b}.norm1.bias"] = r(d)
+        sd[f"{b}.attn.qkv.weight"] = r(3 * d, d)
+        sd[f"{b}.attn.qkv.bias"] = r(3 * d)
+        sd[f"{b}.attn.proj.weight"] = r(d, d)
+        sd[f"{b}.attn.proj.bias"] = r(d)
+        sd[f"{b}.norm2.weight"] = 1 + 0.1 * r(d)
+        sd[f"{b}.norm2.bias"] = r(d)
+        sd[f"{b}.mlp.fc1.weight"] = r(hidden, d)
+        sd[f"{b}.mlp.fc1.bias"] = r(hidden)
+        sd[f"{b}.mlp.fc2.weight"] = r(d, hidden)
+        sd[f"{b}.mlp.fc2.bias"] = r(hidden and d)
+        if cfg.init_values is not None:
+            sd[f"{b}.ls1.gamma"] = cfg.init_values * torch.ones(d)
+            sd[f"{b}.ls2.gamma"] = cfg.init_values * torch.ones(d)
+    sd["norm.weight"] = 1 + 0.1 * r(cfg.embed_dim)
+    sd["norm.bias"] = r(cfg.embed_dim)
+    return sd
+
+
+def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
+    """Oracle forward replicating timm VisionTransformer semantics."""
+    x = F.conv2d(
+        x_nchw,
+        sd["patch_embed.proj.weight"],
+        sd["patch_embed.proj.bias"],
+        stride=stride,
+    )
+    b, c, gh, gw = x.shape
+    x = x.flatten(2).transpose(1, 2)  # (B, N, C)
+
+    pe = sd["pos_embed"]
+    n_prefix = cfg.num_prefix_tokens
+    pe_prefix_count = 0 if cfg.no_embed_class else n_prefix
+    prefix_pe, grid_pe = pe[:, :pe_prefix_count], pe[:, pe_prefix_count:]
+    old = cfg.pretrain_grid
+    grid_pe = grid_pe.reshape(1, *old, c).permute(0, 3, 1, 2)
+    grid_pe = F.interpolate(
+        grid_pe, size=(gh, gw), mode="bicubic", antialias=True, align_corners=False
+    )
+    grid_pe = grid_pe.permute(0, 2, 3, 1).reshape(1, -1, c)
+
+    prefix_toks = []
+    if cfg.class_token:
+        prefix_toks.append(sd["cls_token"].expand(b, -1, -1))
+    if cfg.reg_tokens:
+        prefix_toks.append(sd["reg_token"].expand(b, -1, -1))
+    if cfg.no_embed_class:
+        x = x + grid_pe
+        if prefix_toks:
+            x = torch.cat(prefix_toks + [x], dim=1)
+    else:
+        if prefix_toks:
+            x = torch.cat(prefix_toks + [x], dim=1)
+        x = x + torch.cat([prefix_pe, grid_pe], dim=1)
+
+    def ln(t, w, bname):
+        return F.layer_norm(t, (c,), sd[w], sd[bname], eps=cfg.norm_eps)
+
+    taps = {}
+    for i in range(cfg.depth):
+        bk = f"blocks.{i}"
+        y = ln(x, f"{bk}.norm1.weight", f"{bk}.norm1.bias")
+        qkv = F.linear(y, sd[f"{bk}.attn.qkv.weight"], sd[f"{bk}.attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        nh = cfg.num_heads
+
+        def heads(t):
+            return t.view(b, -1, nh, c // nh).transpose(1, 2)
+
+        att = F.scaled_dot_product_attention(heads(q), heads(k), heads(v))
+        att = att.transpose(1, 2).reshape(b, -1, c)
+        att = F.linear(att, sd[f"{bk}.attn.proj.weight"], sd[f"{bk}.attn.proj.bias"])
+        if cfg.init_values is not None:
+            att = att * sd[f"{bk}.ls1.gamma"]
+        x = x + att
+        y = ln(x, f"{bk}.norm2.weight", f"{bk}.norm2.bias")
+        y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
+        y = F.gelu(y)
+        y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
+        if cfg.init_values is not None:
+            y = y * sd[f"{bk}.ls2.gamma"]
+        x = x + y
+        if i in tap_indices:
+            taps[i] = x
+
+    outs = []
+    for i in sorted(tap_indices):
+        t = ln(taps[i], "norm.weight", "norm.bias")
+        spatial = t[:, n_prefix:].reshape(b, gh, gw, c)
+        outs.append(spatial.numpy())
+    return outs
+
+
+@pytest.mark.parametrize(
+    "cfg_kw,stride",
+    [
+        (dict(), 8),  # vanilla, stride == patch
+        (dict(), 4),  # stride override (the DVT trick)
+        (dict(init_values=1e-1), 4),  # LayerScale (DINOv2/DeiT3 style)
+        (dict(reg_tokens=4, no_embed_class=True), 4),  # register tokens
+        (dict(class_token=False, no_embed_class=True), 8),  # pure spatial
+    ],
+)
+def test_forward_matches_torch_oracle(cfg_kw, stride):
+    cfg = tiny_cfg(**cfg_kw)
+    sd = make_torch_state_dict(cfg)
+    params = convert_vit_state_dict(sd, cfg)
+
+    x = torch.randn(2, 3, 48, 40, generator=torch.Generator().manual_seed(1))
+    taps = [0, cfg.depth - 1]
+    ref = torch_vit_forward(sd, cfg, x, stride, taps)
+
+    model = VisionTransformer(cfg, stride=stride, precision="highest")
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    ours = model.apply({"params": params}, x_jax, indices=taps, norm=True)
+
+    for o, r in zip(ours, ref):
+        assert o.shape == r.shape
+        np.testing.assert_allclose(np.asarray(o), r, atol=2e-4, rtol=1e-3)
+
+
+def test_wrapper_api():
+    w = ViTWrapper("vit_base_patch16_224.dino", stride=16, seed=0)
+    assert w.n_output_dims == 768
+    assert w.last_layer_index == 11
+    assert w.feat_grid(224, 224) == (14, 14)
+    # stride override changes the grid like the reference monkey-patch
+    w2 = ViTWrapper(
+        "vit_base_patch16_224.dino", stride=8, params=w.params
+    )
+    assert w2.feat_grid(224, 224) == (27, 27)
+
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = w.get_intermediate_layers(x, n=[11], reshape=True)
+    assert feats[0].shape == (1, 4, 4, 768)
+    nlc = w.get_intermediate_layers(x, n=[11], reshape=False)
+    assert nlc[0].shape == (1, 16, 768)
+    fp = w.get_intermediate_layers(x, n=[11], return_prefix_tokens=True)
+    fmap, prefix = fp[0]
+    assert fmap.shape == (1, 4, 4, 768)
+    assert prefix.shape == (1, 1, 768)
+
+
+def test_eva_arch_smoke():
+    cfg = tiny_cfg(eva_arch=True, mlp_ratio=8 / 3, rope_ref_feat_shape=(4, 4))
+    model = VisionTransformer(cfg, stride=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out[0].shape == (1, 7, 7, 64)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_normalization_stats_match_reference_families():
+    dinov2 = get_model_config("vit_base_patch14_dinov2.lvd142m")
+    assert dinov2.mean == (0.485, 0.456, 0.406)
+    assert dinov2.pretrain_img_size == 518
+    assert dinov2.init_values == 1e-5
+    clip = get_model_config("vit_base_patch16_clip_384.laion2b_ft_in12k_in1k")
+    assert clip.pre_norm and clip.pretrain_img_size == 384
+    reg = get_model_config("vit_base_patch14_reg4_dinov2.lvd142m")
+    assert reg.reg_tokens == 4 and reg.no_embed_class
+    augreg = get_model_config("vit_base_patch16_384.augreg_in21k_ft_in1k")
+    assert augreg.mean == (0.5, 0.5, 0.5)
