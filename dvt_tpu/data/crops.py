@@ -9,10 +9,11 @@ two separable 4-tap cubic gathers - static shapes, vmapped over views, and
 fusable into the same XLA program as the ViT feature extraction. Host->device
 traffic drops from 768 views to 1 image.
 
-Numerics match torchvision's ``F.resized_crop(..., BICUBIC)`` for the
-upscaling case (A=-0.75 kernel, half-pixel centers). Stage-1 crops
-(scale=(0.1, 0.5) of a 518px base) always upscale, so the antialias flag is
-moot; downscaling crops would need kernel widening (documented limitation).
+Numerics match torchvision's ``F.resized_crop(..., BICUBIC, antialias=True)``
+(the pillow-style Keys A=-0.5 kernel with truncated+renormalized border
+windows). Stage-1 crops (scale=(0.1, 0.5) of a 518px base) always upscale,
+where the static 4-tap budget is exact; pass a larger ``max_taps`` for
+downscaling crops.
 
 Coordinate semantics (transform.py:54-73): each view carries the normalized
 patch-center grid of its crop in the base image at feature resolution
@@ -84,66 +85,82 @@ class CropSampler:
         return boxes, flips
 
 
-def _cubic_weights(t: Array, a: float = -0.75) -> Array:
-    """4-tap cubic convolution weights for fractional offset t in [0,1).
-
-    Taps at offsets (-1, 0, 1, 2) relative to floor(src). Matches torch's
-    bicubic kernel (A=-0.75). t: (...,) -> (..., 4).
-    """
-    d = jnp.stack([t + 1.0, t, 1.0 - t, 2.0 - t], axis=-1)
+def _cubic_keys(d: Array, a: float = -0.5) -> Array:
+    """Keys cubic kernel (A=-0.5): torch/pillow's antialiased bicubic."""
+    d = jnp.abs(d)
     d2 = d * d
     d3 = d2 * d
     near = (a + 2.0) * d3 - (a + 3.0) * d2 + 1.0  # |d| <= 1
     far = a * d3 - 5.0 * a * d2 + 8.0 * a * d - 4.0 * a  # 1 < |d| < 2
-    return jnp.where(d <= 1.0, near, far)
+    return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
 
 
-def _axis_taps(start: Array, size: Array, out_size: int, limit: int):
-    """Source indices (out, 4) and weights (out, 4) for one axis of a
-    crop-resize: crop [start, start+size) -> out_size samples."""
+def _axis_taps(start: Array, size: Array, out_size: int, limit: int,
+               max_taps: int = 4):
+    """Source indices (out, T) and weights (out, T) for one axis of a
+    crop-resize: crop [start, start+size) -> out_size samples.
+
+    Implements torch's ``_upsample_bicubic2d_aa``: Keys A=-0.5 kernel,
+    pillow window [int(c - support + 0.5), int(c + support + 0.5)) truncated
+    at the crop borders and renormalized; support widens with the scale when
+    minifying. ``max_taps`` is the static tap budget: 4 suffices whenever
+    scale <= 1 (stage-1 crops always upscale); pass ceil(4*scale)+2 for
+    downscaling crops.
+    """
     scale = size.astype(jnp.float32) / out_size
+    ss = jnp.maximum(scale, 1.0)  # support_scale
+    support = 2.0 * ss
     o = jnp.arange(out_size, dtype=jnp.float32)
-    src = start.astype(jnp.float32) + (o + 0.5) * scale - 0.5
-    f = jnp.floor(src)
-    t = src - f
-    w = _cubic_weights(t)  # (out, 4)
-    base = f.astype(jnp.int32)
-    idx = base[:, None] + jnp.array([-1, 0, 1, 2], jnp.int32)[None, :]
+    cc = (o + 0.5) * scale  # in-crop center, pillow convention
+    # pillow: lo = int(cc - support + 0.5) with C truncation; cc - support
+    # + 0.5 >= -support so truncation == where(neg, ceil, floor)
+    lo_f = cc - support + 0.5
+    lo_win = jnp.where(lo_f >= 0, jnp.floor(lo_f), jnp.ceil(lo_f)).astype(jnp.int32)
+    hi_win = jnp.floor(cc + support + 0.5).astype(jnp.int32)  # always >= 0
+    lo_win_c = jnp.maximum(lo_win, 0)
+    hi_win_c = jnp.minimum(hi_win, size.astype(jnp.int32))
+    offs = jnp.arange(max_taps, dtype=jnp.int32)
+    idx_rel = lo_win_c[:, None] + offs[None, :]  # (out, T)
+    d = (idx_rel.astype(jnp.float32) - cc[:, None] + 0.5) / ss
+    w = _cubic_keys(d)
+    valid = idx_rel < hi_win_c[:, None]
+    w = jnp.where(valid, w, 0.0)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
     lo = start.astype(jnp.int32)
-    hi = lo + size.astype(jnp.int32) - 1
-    idx = jnp.clip(idx, lo, jnp.minimum(hi, limit - 1))
+    idx = jnp.clip(idx_rel, 0, size.astype(jnp.int32) - 1) + lo
+    idx = jnp.minimum(idx, limit - 1)
     return idx, w
 
 
 def render_one_crop(base: Array, box: Array, flip: Array,
-                    out_hw: Tuple[int, int]) -> Array:
+                    out_hw: Tuple[int, int], max_taps: int = 4) -> Array:
     """Bicubic crop-resize of (H, W, C) ``base`` to ``out_hw``.
 
     box: (4,) int32 (top, left, h, w); flip: () bool.
-    Two separable 4-tap cubic passes, expressed as gathers + weighted sums.
+    Two separable cubic passes, expressed as gathers + weighted sums.
     """
     H, W, C = base.shape
     oh, ow = out_hw
     top, left, h, w = box[0], box[1], box[2], box[3]
 
-    ridx, rw = _axis_taps(top, h, oh, H)  # (oh,4)
-    rows = base[ridx]  # (oh, 4, W, C)
+    ridx, rw = _axis_taps(top, h, oh, H, max_taps)  # (oh,T)
+    rows = base[ridx]  # (oh, T, W, C)
     tmp = jnp.einsum("ok,okwc->owc", rw, rows)
 
-    cidx, cw = _axis_taps(left, w, ow, W)  # (ow,4)
+    cidx, cw = _axis_taps(left, w, ow, W, max_taps)  # (ow,T)
     cols = tmp[:, cidx]  # (oh, ow, 4, C)
     out = jnp.einsum("ok,ohkc->ohc", cw, jnp.moveaxis(cols, 1, 0))
     out = jnp.moveaxis(out, 0, 1)  # back to (oh, ow, C)
     return jnp.where(flip, out[:, ::-1, :], out)
 
 
-@partial(jax.jit, static_argnames=("out_hw",))
+@partial(jax.jit, static_argnames=("out_hw", "max_taps"))
 def render_crops(base: Array, boxes: Array, flips: Array,
-                 out_hw: Tuple[int, int]) -> Array:
+                 out_hw: Tuple[int, int], max_taps: int = 4) -> Array:
     """(V, out_h, out_w, C) views from one base image; vmapped on device."""
-    return jax.vmap(lambda b, f: render_one_crop(base, b, f, out_hw))(
-        boxes, flips
-    )
+    return jax.vmap(
+        lambda b, f: render_one_crop(base, b, f, out_hw, max_taps)
+    )(boxes, flips)
 
 
 @partial(jax.jit, static_argnames=("feat_hw", "base_hw"))

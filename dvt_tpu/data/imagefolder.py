@@ -58,9 +58,13 @@ class ImageFolderDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         path, label = self.samples[index]
-        img = load_image(path)
-        img = resize_image(img, self.input_size).astype(np.float32) / 255.0
+        from dvt_tpu.data.native import load_image_native
+
+        img = load_image_native(path, self.input_size, self.mean, self.std)
+        if img is None:
+            raw = load_image(path)
+            raw = resize_image(raw, self.input_size).astype(np.float32) / 255.0
+            img = (raw - self.mean) / self.std
         if self.random_flip and self._rng.random() < 0.5:
             img = img[:, ::-1]
-        img = (img - self.mean) / self.std
         return {"image": np.ascontiguousarray(img), "label": label}

@@ -76,8 +76,18 @@ class SingleImagePipeline:
 
     def prepare(self, path_or_array) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (base (H, W, 3) float32 normalized, boxes (V, 4), flips (V,))."""
-        img = load_image(path_or_array)
-        img = resize_image(img, self.size)
-        base = self.normalize(img)
+        base = None
+        if isinstance(path_or_array, str):
+            from dvt_tpu.data.native import load_image_native
+
+            base = load_image_native(
+                path_or_array, self.size,
+                np.asarray(self.mean, np.float32),
+                np.asarray(self.std, np.float32),
+            )
+        if base is None:
+            img = load_image(path_or_array)
+            img = resize_image(img, self.size)
+            base = self.normalize(img)
         boxes, flips = self._sampler.sample(self.num_views)
         return base, boxes, flips

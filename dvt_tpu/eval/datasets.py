@@ -1,0 +1,250 @@
+"""Dense-task evaluation datasets: VOC2012 / ADE20k segmentation, NYU depth.
+
+Host-side numpy rebuild of the mmseg/depth dataset+pipeline stack the
+reference forks (evaluation/configs/*: LoadImageFromFile, LoadAnnotations,
+Resize img_scale=(2048,512) ratio 0.5-2.0, RandomCrop 512 cat_max_ratio
+0.75, RandomFlip, PhotoMetricDistortion, Normalize, Pad; NYU: depth png/1000,
+NYUCrop, RandomRotate/Flip/Crop, ColorAug).
+
+Each dataset yields dicts of float32 images (normalized, NHWC) and labels.
+File layouts follow the upstream conventions so the same data roots work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dvt_tpu.data.single_image import load_image
+
+# mmseg normalization (configs use ImageNet stats on 0-255 scale)
+SEG_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SEG_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+VOC_CLASSES = 21
+ADE_CLASSES = 150
+
+
+def _load_label(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im, np.uint8)
+
+
+def _bilinear_resize_u8(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.fromarray(img)
+    return np.asarray(im.resize((size[1], size[0]), Image.BILINEAR))
+
+
+def _nearest_resize_u8(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.fromarray(img)
+    return np.asarray(im.resize((size[1], size[0]), Image.NEAREST))
+
+
+def photometric_distortion(img: np.ndarray, rng: np.random.Generator,
+                           brightness_delta: float = 32,
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5),
+                           hue_delta: int = 18) -> np.ndarray:
+    """mmseg PhotoMetricDistortion on a float32 0-255 RGB image."""
+    img = img.astype(np.float32)
+    if rng.integers(2):
+        img = img + rng.uniform(-brightness_delta, brightness_delta)
+    contrast_last = rng.integers(2)
+    if not contrast_last and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    # saturation/hue in HSV
+    if rng.integers(2) or rng.integers(2):
+        maxc = img.max(-1)
+        minc = img.min(-1)
+        sat_scale = rng.uniform(*saturation_range)
+        gray = img.mean(-1, keepdims=True)
+        img = gray + (img - gray) * sat_scale
+    if contrast_last and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    return np.clip(img, 0, 255)
+
+
+@dataclasses.dataclass
+class SegTrainPipeline:
+    """Resize(ratio 0.5-2.0 of (2048, 512)) -> RandomCrop(512, cat_max 0.75)
+    -> RandomFlip -> PhotoMetricDistortion -> Normalize -> Pad."""
+
+    crop_size: Tuple[int, int] = (512, 512)
+    img_scale: Tuple[int, int] = (2048, 512)
+    ratio_range: Tuple[float, float] = (0.5, 2.0)
+    cat_max_ratio: float = 0.75
+    ignore_index: int = 255
+    seed: int = 0
+
+    def __post_init__(self):
+        self.rng = np.random.default_rng(self.seed)
+
+    def __call__(self, img: np.ndarray, label: np.ndarray):
+        h, w = img.shape[:2]
+        # keep-ratio resize to img_scale * random ratio
+        ratio = self.rng.uniform(*self.ratio_range)
+        max_long, max_short = self.img_scale
+        scale = min(max_long * ratio / max(h, w), max_short * ratio / min(h, w))
+        nh, nw = max(int(h * scale + 0.5), 1), max(int(w * scale + 0.5), 1)
+        img = _bilinear_resize_u8(img, (nh, nw))
+        label = _nearest_resize_u8(label, (nh, nw))
+
+        ch, cw = self.crop_size
+        # random crop w/ cat_max_ratio retries (10 attempts like mmseg)
+        for _ in range(10):
+            y0 = self.rng.integers(max(nh - ch, 0) + 1)
+            x0 = self.rng.integers(max(nw - cw, 0) + 1)
+            lab_crop = label[y0 : y0 + ch, x0 : x0 + cw]
+            vals, counts = np.unique(lab_crop, return_counts=True)
+            counts = counts[vals != self.ignore_index]
+            if counts.size > 1 and counts.max() / counts.sum() < self.cat_max_ratio:
+                break
+        img = img[y0 : y0 + ch, x0 : x0 + cw]
+        label = label[y0 : y0 + ch, x0 : x0 + cw]
+
+        if self.rng.random() < 0.5:
+            img = img[:, ::-1]
+            label = label[:, ::-1]
+
+        img = photometric_distortion(img.astype(np.float32), self.rng)
+        img = (img - SEG_MEAN) / SEG_STD
+
+        ph, pw = ch - img.shape[0], cw - img.shape[1]
+        if ph > 0 or pw > 0:
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            label = np.pad(label, ((0, ph), (0, pw)),
+                           constant_values=self.ignore_index)
+        return np.ascontiguousarray(img, np.float32), np.ascontiguousarray(label)
+
+
+class SegDataset:
+    """VOC2012 / ADE20k layout; split file or directory scan."""
+
+    def __init__(self, data_root: str, img_dir: str, ann_dir: str,
+                 split: Optional[str] = None, img_suffix: str = ".jpg",
+                 seg_suffix: str = ".png", train: bool = True,
+                 reduce_zero_label: bool = False,
+                 crop_size: Tuple[int, int] = (512, 512), seed: int = 0):
+        self.data_root = data_root
+        self.img_dir = os.path.join(data_root, img_dir)
+        self.ann_dir = os.path.join(data_root, ann_dir)
+        self.img_suffix = img_suffix
+        self.seg_suffix = seg_suffix
+        self.reduce_zero_label = reduce_zero_label  # ADE: label-1, 0->255
+        self.train = train
+        self.pipeline = SegTrainPipeline(crop_size=crop_size, seed=seed)
+        if split:
+            with open(os.path.join(data_root, split)) as f:
+                self.names = [ln.strip() for ln in f if ln.strip()]
+        else:
+            self.names = sorted(
+                os.path.splitext(f)[0]
+                for f in os.listdir(self.img_dir)
+                if f.endswith(img_suffix)
+            )
+
+    def __len__(self):
+        return len(self.names)
+
+    def _label(self, name: str) -> np.ndarray:
+        lab = _load_label(os.path.join(self.ann_dir, name + self.seg_suffix))
+        if lab.ndim == 3:
+            lab = lab[..., 0]
+        if self.reduce_zero_label:
+            lab = lab.astype(np.int16) - 1
+            lab[lab < 0] = 255
+            lab = lab.astype(np.uint8)
+        return lab
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        name = self.names[index]
+        img = load_image(os.path.join(self.img_dir, name + self.img_suffix))
+        label = self._label(name)
+        if self.train:
+            img, label = self.pipeline(img, label)
+            return {"image": img, "label": label.astype(np.int32)}
+        # eval: keep-ratio resize to (2048, 512) like MultiScaleFlipAug
+        h, w = img.shape[:2]
+        scale = min(2048 / max(h, w), 512 / min(h, w))
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        img_r = _bilinear_resize_u8(img, (nh, nw)).astype(np.float32)
+        img_r = (img_r - SEG_MEAN) / SEG_STD
+        return {
+            "image": img_r.astype(np.float32),
+            "label": label.astype(np.int32),
+            "orig_shape": np.array([h, w]),
+        }
+
+
+class NYUDepthDataset:
+    """NYU-Depth-v2 layout (datasets/nyu.py): split file lines
+    'rgb_path depth_path focal'; depth png / 1000 -> meters; train crop to
+    depth-valid region (NYUCrop) + flip + color aug; eval returns full-res
+    image + gt with the eigen crop applied at metric time."""
+
+    def __init__(self, data_root: str, split: str, train: bool = True,
+                 crop_size: Tuple[int, int] = (416, 544),
+                 depth_scale: float = 1000.0, seed: int = 0):
+        self.data_root = data_root
+        self.train = train
+        self.crop_size = crop_size
+        self.depth_scale = depth_scale
+        self.rng = np.random.default_rng(seed)
+        self.items: List[Tuple[str, Optional[str]]] = []
+        with open(os.path.join(data_root, split)) as f:
+            for ln in f:
+                parts = ln.strip().split()
+                if not parts:
+                    continue
+                img_p = parts[0]
+                dep_p = parts[1] if len(parts) > 1 and parts[1] != "None" else None
+                self.items.append((img_p, dep_p))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        img_p, dep_p = self.items[index]
+        img = load_image(os.path.join(self.data_root, img_p)).astype(np.float32)
+        depth = None
+        if dep_p is not None:
+            depth = _load_label(os.path.join(self.data_root, dep_p))
+            depth = depth.astype(np.float32) / self.depth_scale
+        if not self.train:
+            im = (img - SEG_MEAN) / SEG_STD
+            out = {"image": im.astype(np.float32)}
+            if depth is not None:
+                out["depth"] = depth
+            return out
+
+        # NYUCrop: fixed valid-depth region (pipelines/transforms.py NYUCrop)
+        img = img[45:472, 43:608]
+        depth = depth[45:472, 43:608]
+        ch, cw = self.crop_size
+        h, w = img.shape[:2]
+        y0 = self.rng.integers(max(h - ch, 0) + 1)
+        x0 = self.rng.integers(max(w - cw, 0) + 1)
+        img = img[y0 : y0 + ch, x0 : x0 + cw]
+        depth = depth[y0 : y0 + ch, x0 : x0 + cw]
+        if self.rng.random() < 0.5:
+            img = img[:, ::-1]
+            depth = depth[:, ::-1]
+        # ColorAug (gamma/brightness/color, transforms.py ColorAug ranges)
+        gamma = self.rng.uniform(0.9, 1.1)
+        bright = self.rng.uniform(0.75, 1.25)
+        colors = self.rng.uniform(0.9, 1.1, 3)
+        img = np.clip((img / 255.0) ** gamma * bright * colors * 255.0, 0, 255)
+        img = (img - SEG_MEAN) / SEG_STD
+        return {
+            "image": np.ascontiguousarray(img, np.float32),
+            "depth": np.ascontiguousarray(depth, np.float32),
+        }

@@ -1,0 +1,59 @@
+"""Backbone-to-probe glue: the three feature-extraction modes of
+evaluate_dense_tasks.py (:183-214) as pure feature functions.
+
+  raw ViT          -> last-layer feature map
+  ViT + denoiser   -> stage-2 denoised map
+  distilled ViT    -> last-layer map of the distilled backbone (same as raw
+                      mode with swapped params)
+
+plus CenterPadding (eval_utils/misc.py:19-35): symmetric padding of the
+input image to a multiple of the patch size before the backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def center_pad(x: Array, multiple: int) -> Array:
+    """Pad (B, H, W, C) so H and W are multiples of ``multiple``; symmetric
+    (floor/ceil) like torch F.pad in CenterPadding."""
+    h, w = x.shape[1:3]
+
+    def pads(size):
+        new = -(-size // multiple) * multiple
+        total = new - size
+        return total // 2, total - total // 2
+
+    (t, b), (l, r) = pads(h), pads(w)
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+def make_feature_fn(
+    vit_wrapper,
+    denoiser=None,
+    denoiser_params=None,
+    vit_params=None,
+    pad_multiple: Optional[int] = None,
+) -> Callable[[Array], Array]:
+    """Build feature_fn(images (B,H,W,3)) -> (B, h, w, C) for the probes."""
+    params = vit_params if vit_params is not None else vit_wrapper.params
+    n = [vit_wrapper.last_layer_index]
+
+    def fn(images: Array) -> Array:
+        x = images
+        if pad_multiple:
+            x = center_pad(x, pad_multiple)
+        feats = vit_wrapper.get_intermediate_layers(
+            x, n=n, norm=True, params=params
+        )[-1]
+        if denoiser is not None:
+            feats = denoiser.apply({"params": denoiser_params}, feats)
+        return jax.lax.stop_gradient(feats)
+
+    return fn

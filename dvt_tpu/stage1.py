@@ -172,6 +172,7 @@ def fit_one_image(
     raw_features: Array,      # (V+1, h, w, C) - last slot is the full image
     pixel_coords: Array,      # (V+1, h, w, 2) in [0, 1]
     cfg: Stage1Config,
+    return_params: bool = False,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Run the full stage-1 fit for one image; vmap-able over a batch.
 
@@ -235,6 +236,8 @@ def fit_one_image(
         "final_loss": step_metrics["loss"][-1],
         "final_recon_cos": final_cos,
     }
+    if return_params:
+        return denoised, metrics, params
     return denoised, metrics
 
 
@@ -255,17 +258,17 @@ def decompose_full_image(params, cfg: Stage1Config, raw_features: Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "return_params"))
 def fit_image_batch(keys: Array, raw_features: Array, pixel_coords: Array,
-                    cfg: Stage1Config):
+                    cfg: Stage1Config, return_params: bool = False):
     """jit(vmap(fit)): fit a batch of images concurrently on one chip.
 
     keys: (N, 2) PRNG keys; raw_features: (N, V+1, h, w, C);
     pixel_coords: (N, V+1, h, w, 2).
     """
-    return jax.vmap(lambda k, r, c: fit_one_image(k, r, c, cfg))(
-        keys, raw_features, pixel_coords
-    )
+    return jax.vmap(
+        lambda k, r, c: fit_one_image(k, r, c, cfg, return_params)
+    )(keys, raw_features, pixel_coords)
 
 
 def fit_image_batch_sharded(mesh, keys, raw_features, pixel_coords,

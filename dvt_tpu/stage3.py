@@ -123,26 +123,11 @@ class Stage3Trainer:
             "denoiser": shard_params(mesh, denoiser_params, False),
         }
 
-        repl = NamedSharding(mesh, P())
-        data_sh = NamedSharding(mesh, P("data"))
-        state_sh = {
-            "params": param_shardings(mesh, student_params, tp),
-            "opt_state": jax.tree.map(
-                lambda _: repl, opt_state,
-                is_leaf=lambda x: isinstance(x, jax.Array),
-            ),
-            "step": repl,
-        }
-        teacher_sh = {
-            "vit": param_shardings(mesh, teacher_vit_params, tp),
-            "denoiser": param_shardings(mesh, denoiser_params, False),
-        }
-        self._step = jax.jit(
-            self._train_step,
-            in_shardings=(state_sh, teacher_sh, data_sh),
-            out_shardings=(state_sh, repl),
-            donate_argnums=(0,),
-        )
+        # state/teacher arrays are already placed on the mesh (shard_params
+        # + tx.init inherit shardings); let jit follow the data. Only the
+        # incoming image batch needs an explicit sharding.
+        self._data_sharding = NamedSharding(mesh, P("data"))
+        self._step = jax.jit(self._train_step, donate_argnums=(0,))
 
     def _student_feats(self, params, images):
         return self.vit.apply({"params": params}, images, norm=True)[-1]
@@ -174,5 +159,6 @@ class Stage3Trainer:
         )
 
     def train_step(self, images: Array) -> Dict[str, Array]:
+        images = jax.device_put(images, self._data_sharding)
         self.state, metrics = self._step(self.state, self.teacher, images)
         return metrics

@@ -1,0 +1,249 @@
+"""Dense-task evaluation CLI: VOC/ADE segmentation + NYU depth linear probes.
+
+TPU-native counterpart of the reference's evaluate_dense_tasks.py without the
+mmcv/mmseg stack: builds the frozen feature extractor in one of three modes
+(raw ViT / ViT + stage-2 denoiser / distilled ViT, reference :183-214),
+trains the matching linear probe (BNHead seg or binned depth head) with the
+shipped recipes, runs slide (seg) or whole (depth) inference on the val
+split, and appends metrics to <work_dir>/eval_metrics.json for
+collect_results.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+import dvt_tpu.models.zoo as zoo
+
+TASKS = {
+    "voc": dict(num_classes=21, reduce_zero_label=False,
+                img_dir="JPEGImages", ann_dir="SegmentationClass",
+                train_split="ImageSets/Segmentation/train.txt",
+                val_split="ImageSets/Segmentation/val.txt",
+                img_suffix=".jpg", iters=40_000, lr=1e-3, wd=1e-4),
+    "ade20k": dict(num_classes=150, reduce_zero_label=True,
+                   img_dir="images/training", ann_dir="annotations/training",
+                   val_img_dir="images/validation",
+                   val_ann_dir="annotations/validation",
+                   train_split=None, val_split=None,
+                   img_suffix=".jpg", iters=40_000, lr=1e-3, wd=1e-4),
+    "nyu": dict(iters=38_400, lr=5e-3, wd=0.005),
+}
+
+
+def get_args():
+    p = argparse.ArgumentParser("Dense-task eval (TPU)")
+    p.add_argument("task", choices=list(TASKS))
+    p.add_argument("--model", type=str,
+                   default="vit_base_patch14_dinov2.lvd142m",
+                   choices=zoo.MODEL_LIST)
+    p.add_argument("--stride_size", type=int, default=None,
+                   help="default: patch size")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--work_dir", type=str, default="./work_dirs/eval")
+    p.add_argument("--vit_ckpt", type=str, default=None,
+                   help="backbone weights (.pth converted, or distilled)")
+    p.add_argument("--denoiser_ckpt", type=str, default=None,
+                   help="stage-2 denoiser: evaluate ViT+denoiser mode")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_iterations", type=int, default=None)
+    p.add_argument("--eval_interval", type=int, default=10_000)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--max_val_images", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def build_feature_fn(args):
+    import jax.numpy as jnp
+
+    from dvt_tpu.eval.glue import make_feature_fn
+    from dvt_tpu.models.online_denoiser import Denoiser
+    from dvt_tpu.models.vit import ViTWrapper
+
+    stride = args.stride_size or zoo.patch_size_of(args.model)
+    wrapper = ViTWrapper(
+        args.model, stride=stride, checkpoint_path=args.vit_ckpt,
+        dtype=jnp.bfloat16, seed=args.seed,
+    )
+    denoiser = denoiser_params = None
+    if args.denoiser_ckpt:
+        from main_distillation import load_denoiser_params
+
+        denoiser_params = load_denoiser_params(args.denoiser_ckpt)
+        denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
+    fn = make_feature_fn(
+        wrapper, denoiser, denoiser_params,
+        pad_multiple=wrapper.patch_size,
+    )
+    return fn, wrapper
+
+
+def run_seg(args, cfg):
+    import jax.numpy as jnp
+
+    from dvt_tpu.data.prefetch import DataLoader
+    from dvt_tpu.data.samplers import InfiniteSampler
+    from dvt_tpu.eval.datasets import SegDataset
+    from dvt_tpu.eval.seg import SegLinearProbe, ConfusionAccumulator, slide_inference
+    from dvt_tpu.train.logging import MetricLogger, setup_logging
+
+    logger = setup_logging(args.work_dir)
+    feature_fn, wrapper = build_feature_fn(args)
+
+    train_ds = SegDataset(
+        args.data_root, cfg["img_dir"], cfg["ann_dir"],
+        split=cfg.get("train_split"), img_suffix=cfg["img_suffix"],
+        reduce_zero_label=cfg["reduce_zero_label"], train=True, seed=args.seed,
+    )
+    val_ds = SegDataset(
+        args.data_root,
+        cfg.get("val_img_dir", cfg["img_dir"]),
+        cfg.get("val_ann_dir", cfg["ann_dir"]),
+        split=cfg.get("val_split"), img_suffix=cfg["img_suffix"],
+        reduce_zero_label=cfg["reduce_zero_label"], train=False,
+    )
+    logger.info(f"train {len(train_ds)} / val {len(val_ds)} images")
+
+    probe = SegLinearProbe(
+        feature_fn, cfg["num_classes"],
+        lr=cfg["lr"], weight_decay=cfg["wd"],
+        total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
+    )
+    loader = DataLoader(
+        train_ds, args.batch_size, InfiniteSampler(len(train_ds)),
+        num_workers=args.num_workers,
+    )
+    total = args.num_iterations or cfg["iters"]
+    ml = MetricLogger(output_file=os.path.join(args.work_dir, "train_log.json"))
+    state = None
+    metrics_path = os.path.join(args.work_dir, "eval_metrics.json")
+
+    def evaluate(state, step):
+        acc = ConfusionAccumulator(cfg["num_classes"])
+        n = len(val_ds) if args.max_val_images is None else min(
+            len(val_ds), args.max_val_images
+        )
+        for i in range(n):
+            item = val_ds[i]
+            logits = slide_inference(
+                lambda im: probe.predict_logits(state, im),
+                item["image"], cfg["num_classes"],
+            )
+            pred = logits.argmax(-1).astype(np.int64)
+            # resize pred back to the label's native resolution
+            from dvt_tpu.eval.datasets import _nearest_resize_u8
+
+            if pred.shape != item["label"].shape:
+                pred = _nearest_resize_u8(
+                    pred.astype(np.uint8), item["label"].shape
+                ).astype(np.int64)
+            acc.add(pred, np.asarray(item["label"], np.int64))
+        res = acc.results()
+        res["iteration"] = step
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        logger.info(f"[eval @ {step}] {res}")
+        return res
+
+    for step, batch in enumerate(
+        ml.log_every(loader, 50, header="SegProbe", n_iterations=total)
+    ):
+        if state is None:
+            state = probe.init_state(jnp.asarray(batch["image"]))
+        if step >= total:
+            break
+        state, m = probe.train_step(
+            state, jnp.asarray(batch["image"]), jnp.asarray(batch["label"])
+        )
+        ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
+        if (step + 1) % args.eval_interval == 0 or step == total - 1:
+            evaluate(state, step + 1)
+
+
+def run_depth(args, cfg):
+    import jax.numpy as jnp
+
+    from dvt_tpu.data.prefetch import DataLoader
+    from dvt_tpu.data.samplers import InfiniteSampler
+    from dvt_tpu.eval.datasets import NYUDepthDataset
+    from dvt_tpu.eval.depth import DepthLinearProbe, depth_metrics, eigen_crop_mask
+    from dvt_tpu.train.logging import MetricLogger, setup_logging
+
+    logger = setup_logging(args.work_dir)
+    feature_fn, wrapper = build_feature_fn(args)
+    train_ds = NYUDepthDataset(
+        args.data_root, "nyu_train.txt", train=True, seed=args.seed
+    )
+    val_ds = NYUDepthDataset(args.data_root, "nyu_test.txt", train=False)
+    logger.info(f"train {len(train_ds)} / val {len(val_ds)} images")
+
+    probe = DepthLinearProbe(
+        feature_fn, lr=cfg["lr"], weight_decay=cfg["wd"],
+        total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
+    )
+    loader = DataLoader(
+        train_ds, args.batch_size, InfiniteSampler(len(train_ds)),
+        num_workers=args.num_workers,
+    )
+    total = args.num_iterations or cfg["iters"]
+    ml = MetricLogger(output_file=os.path.join(args.work_dir, "train_log.json"))
+    metrics_path = os.path.join(args.work_dir, "eval_metrics.json")
+    state = None
+
+    def evaluate(state, step):
+        sums, n = {}, 0
+        count = len(val_ds) if args.max_val_images is None else min(
+            len(val_ds), args.max_val_images
+        )
+        for i in range(count):
+            item = val_ds[i]
+            if "depth" not in item:
+                continue
+            pred = np.asarray(
+                probe.predict(state, jnp.asarray(item["image"][None]))
+            )[0]
+            mask = eigen_crop_mask(item["depth"].shape)
+            m = depth_metrics(item["depth"], pred, eval_mask=mask)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        res = {k: v / max(n, 1) for k, v in sums.items()}
+        res["iteration"] = step
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        logger.info(f"[eval @ {step}] {res}")
+
+    for step, batch in enumerate(
+        ml.log_every(loader, 50, header="DepthProbe", n_iterations=total)
+    ):
+        if state is None:
+            state = probe.init_state(jnp.asarray(batch["image"]))
+        if step >= total:
+            break
+        state, m = probe.train_step(
+            state, jnp.asarray(batch["image"]), jnp.asarray(batch["depth"])
+        )
+        ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
+        if (step + 1) % args.eval_interval == 0 or step == total - 1:
+            evaluate(state, step + 1)
+
+
+def main():
+    args = get_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+    cfg = TASKS[args.task]
+    if args.task in ("voc", "ade20k"):
+        run_seg(args, cfg)
+    else:
+        run_depth(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

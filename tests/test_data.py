@@ -28,15 +28,16 @@ class TestCropSampler:
 
 
 class TestRenderCrops:
-    @pytest.mark.parametrize("box", [(5, 7, 20, 24), (0, 0, 33, 33)])
-    def test_matches_torch_resized_crop(self, rng, box):
+    @pytest.mark.parametrize("box,taps", [((5, 7, 20, 24), 4),
+                                          ((0, 0, 33, 33), 6)])
+    def test_matches_torch_resized_crop(self, rng, box, taps):
         base = rng.standard_normal((48, 48, 3)).astype(np.float32)
         out_hw = (32, 32)
         boxes = np.asarray([box], np.int32)
         flips = np.asarray([False])
 
         ours = render_crops(jnp.asarray(base), jnp.asarray(boxes),
-                            jnp.asarray(flips), out_hw)
+                            jnp.asarray(flips), out_hw, taps)
 
         i, j, h, w = box
         crop = torch.from_numpy(base[i:i + h, j:j + w]).permute(2, 0, 1)[None]

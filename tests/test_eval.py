@@ -1,0 +1,185 @@
+"""Evaluation-harness tests: probes learn, inference helpers and metrics
+match the reference formulas (torch/numpy oracles where practical)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvt_tpu.eval.depth import (
+    DepthLinearProbe,
+    depth_metrics,
+    eigen_crop_mask,
+    gradient_loss,
+    sig_loss,
+)
+from dvt_tpu.eval.glue import center_pad
+from dvt_tpu.eval.seg import (
+    ConfusionAccumulator,
+    SegLinearProbe,
+    bilinear_upsample,
+    cross_entropy_ignore,
+    poly_schedule,
+    slide_inference,
+)
+from dvt_tpu.eval.vitdet import (
+    LN2d,
+    SimpleFPN,
+    sincos_pos_embed_2d,
+    window_partition,
+    window_unpartition,
+    windowed_attention,
+)
+
+
+class TestSegPieces:
+    def test_cross_entropy_ignores_255(self):
+        logits = jnp.zeros((1, 2, 2, 3))
+        labels = jnp.array([[[0, 255], [255, 255]]])
+        loss = cross_entropy_ignore(logits, labels)
+        np.testing.assert_allclose(float(loss), np.log(3), rtol=1e-5)
+
+    def test_bilinear_upsample_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+        out = bilinear_upsample(jnp.asarray(x), (15, 21))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(t, size=(15, 21), mode="bilinear",
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_poly_schedule(self):
+        fn = poly_schedule(1e-3, 1000, 1.0, warmup_iters=100)
+        assert float(fn(0)) < 2e-5
+        assert np.isclose(float(fn(100)), 1e-3 * 0.9, rtol=0.05)
+        assert float(fn(999)) < 5e-6
+
+    def test_confusion_accumulator_miou(self):
+        acc = ConfusionAccumulator(3)
+        pred = np.array([0, 0, 1, 1, 2, 2])
+        label = np.array([0, 1, 1, 1, 2, 255])
+        acc.add(pred, label)
+        # class0: i=1,u=2 -> 0.5; class1: i=1,u=4 -> ... pred1:{1,1},label1:{1,1,1}
+        res = acc.results()
+        assert 0 < res["mIoU"] < 100
+        assert res["aAcc"] == pytest.approx(3 / 5 * 100)
+
+    def test_slide_inference_covers_everything(self):
+        calls = []
+
+        def logits_fn(x):
+            calls.append(x.shape)
+            return jnp.ones((*x.shape[:3], 4))
+
+        img = np.zeros((70, 90, 3), np.float32)
+        out = slide_inference(logits_fn, img, 4, crop=(32, 32), stride=(24, 24))
+        assert out.shape == (70, 90, 4)
+        np.testing.assert_allclose(out, 1.0)  # count-normalized overlaps
+
+    def test_probe_learns_linear_task(self):
+        # synthetic: class = argmax of channel triple at each location
+        def feature_fn(images):
+            return images  # identity "backbone": (B, h, w, 3)
+
+        probe = SegLinearProbe(feature_fn, num_classes=3, lr=5e-2,
+                               total_iters=60, warmup_iters=5)
+        key = jax.random.PRNGKey(0)
+        state = None
+        for i in range(60):
+            x = jax.random.normal(jax.random.fold_in(key, i), (4, 8, 8, 3))
+            y = jnp.argmax(x, axis=-1)
+            if state is None:
+                state = probe.init_state(x)
+            state, m = probe.train_step(state, x, y)
+        x = jax.random.normal(jax.random.fold_in(key, 999), (2, 8, 8, 3))
+        pred = np.asarray(probe.predict_logits(state, x)).argmax(-1)
+        acc = (pred == np.asarray(jnp.argmax(x, -1))).mean()
+        assert acc > 0.8, acc
+
+
+class TestDepthPieces:
+    def test_sig_loss_zero_for_perfect(self):
+        gt = jnp.ones((4, 4)) * 2.0
+        assert float(sig_loss(gt, gt)) < 1e-4
+
+    def test_sig_loss_matches_reference_formula(self, rng):
+        pred = jnp.asarray(rng.uniform(0.5, 5, (6, 6)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(0.5, 5, (6, 6)).astype(np.float32))
+        g = np.log(np.asarray(pred) + 1e-3) - np.log(np.asarray(gt) + 1e-3)
+        ref = np.sqrt(g.var() + 0.15 * g.mean() ** 2)
+        np.testing.assert_allclose(float(sig_loss(pred, gt)), ref, rtol=1e-4)
+
+    def test_gradient_loss_nonnegative(self, rng):
+        pred = jnp.asarray(rng.uniform(0.5, 5, (16, 16)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(0.5, 5, (16, 16)).astype(np.float32))
+        assert float(gradient_loss(pred, gt)) > 0
+        assert float(gradient_loss(gt, gt)) < 1e-6
+
+    def test_depth_metrics_identity(self):
+        gt = np.full((480, 640), 2.0, np.float32)
+        m = depth_metrics(gt, gt, eval_mask=eigen_crop_mask(gt.shape))
+        assert m["a1"] == 1.0 and m["rmse"] == 0.0 and m["abs_rel"] == 0.0
+
+    def test_eigen_crop(self):
+        mask = eigen_crop_mask((480, 640))
+        assert not mask[0, 0] and mask[100, 100]
+        assert mask.sum() == (471 - 45) * (601 - 41)
+
+    def test_depth_probe_learns_constant_depth(self):
+        def feature_fn(images):
+            return images
+
+        probe = DepthLinearProbe(feature_fn, lr=1e-2, total_iters=50,
+                                 warmup_iters=5)
+        key = jax.random.PRNGKey(0)
+        state = None
+        losses = []
+        for i in range(50):
+            x = jax.random.normal(jax.random.fold_in(key, i), (2, 8, 8, 3))
+            # depth depends on feature channel 0
+            gt = 2.0 + jnp.clip(x[..., 0], -1, 1)
+            if state is None:
+                state = probe.init_state(x)
+            state, m = probe.train_step(state, x, gt)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+class TestViTDet:
+    def test_window_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 7, 9, 4)).astype(np.float32))
+        wins, padded = window_partition(x, 4)
+        back = window_unpartition(wins, 4, padded, (7, 9))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+    def test_windowed_attention_shapes(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+        out = windowed_attention(lambda t: t * 2.0, x, 4)
+        assert out.shape == x.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2, atol=1e-6)
+
+    def test_sincos_embed(self):
+        pe = sincos_pos_embed_2d(64, 5, 7)
+        assert pe.shape == (35, 64)
+        assert np.isfinite(np.asarray(pe)).all()
+
+    def test_simple_fpn_strides(self, rng):
+        fpn = SimpleFPN(out_channels=32)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
+        params = fpn.init(jax.random.PRNGKey(0), x)["params"]
+        outs = fpn.apply({"params": params}, x)
+        assert [o.shape for o in outs] == [
+            (1, 32, 32, 32), (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32)
+        ]
+
+
+class TestGlue:
+    def test_center_pad(self):
+        x = jnp.zeros((1, 30, 45, 3))
+        out = center_pad(x, 14)
+        assert out.shape == (1, 42, 56, 3)
+        out2 = center_pad(jnp.zeros((1, 28, 28, 3)), 14)
+        assert out2.shape == (1, 28, 28, 3)
