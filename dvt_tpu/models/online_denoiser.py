@@ -34,7 +34,7 @@ def _block_cfg(feat_dim: int) -> ViTConfig:
         name="denoiser_block",
         embed_dim=feat_dim,
         depth=1,
-        num_heads=feat_dim // 64,
+        num_heads=max(feat_dim // 64, 1),
         patch_size=1,
         mlp_ratio=4.0,
         init_values=None,

@@ -65,7 +65,7 @@ class TestSegPieces:
         # class0: i=1,u=2 -> 0.5; class1: i=1,u=4 -> ... pred1:{1,1},label1:{1,1,1}
         res = acc.results()
         assert 0 < res["mIoU"] < 100
-        assert res["aAcc"] == pytest.approx(3 / 5 * 100)
+        assert res["aAcc"] == pytest.approx(4 / 5 * 100)
 
     def test_slide_inference_covers_everything(self):
         calls = []

@@ -84,10 +84,10 @@ class TestLrSchedule:
     def test_warmup_and_cosine(self):
         cfg = small_cfg()
         assert float(lr_at(cfg, jnp.array(0))) == 0.0
-        assert np.isclose(float(lr_at(cfg, jnp.array(40))), cfg.lr)
-        mid = float(lr_at(cfg, jnp.array(220)))
+        assert np.isclose(float(lr_at(cfg, jnp.array(cfg.warmup_iters))), cfg.lr)
+        mid = float(lr_at(cfg, jnp.array(cfg.num_iters // 2)))
         assert cfg.min_lr < mid < cfg.lr
-        end = float(lr_at(cfg, jnp.array(400)))
+        end = float(lr_at(cfg, jnp.array(cfg.num_iters)))
         assert np.isclose(end, cfg.min_lr, atol=1e-6)
 
 

@@ -26,9 +26,9 @@ class TestStage2:
             feat_dim=32,
             noise_map_height=6,
             noise_map_width=6,
-            num_iterations=60,
+            num_iterations=120,
             global_batch_size=16,
-            blr=3e-3,
+            blr=1e-2,
         )
         trainer = Stage2Trainer(cfg, mesh, seed=0)
 
@@ -36,7 +36,7 @@ class TestStage2:
         key = jax.random.PRNGKey(0)
         artifact = jax.random.normal(key, (6, 6, 32)) * 0.5
         losses = []
-        for i in range(60):
+        for i in range(120):
             k = jax.random.fold_in(key, i)
             clean = jax.random.normal(k, (16, 6, 6, 32))
             raw = clean + artifact
