@@ -92,53 +92,72 @@ class Stage1Engine:
             seed=self.seed,
         )
         self._pool_dtype = jnp.dtype(self.feature_dtype)
-        self._extract = jax.jit(self._extract_chunk)
+        if self.num_views % self.extract_bsz:
+            raise ValueError("num_views must be divisible by extract_bsz")
+        self._extract_all = jax.jit(self._extract_all_fn)
 
-    # --- device-side extraction: render crops + ViT forward, one program ---
-    def _extract_chunk(self, params, base: Array, boxes: Array, flips: Array):
-        views = render_crops(base, boxes, flips, self.input_size)
-        feats = self.vit.module.apply(
+    # --- device-side extraction: render crops + ViT forward + coords for a
+    # whole image batch in ONE dispatch (lax.map over view chunks keeps the
+    # rendered-view working set at extract_bsz) ---
+    def _extract_all_fn(self, params, bases: Array, boxes: Array, flips: Array):
+        """bases (N, H, W, 3); boxes (N, V, 4); flips (N, V) ->
+        feats (N, V+1, h, w, C) pool-dtype, coords (N, V+1, h, w, 2)."""
+        n = bases.shape[0]
+        nchunks = self.num_views // self.extract_bsz
+        vit_dtype = jnp.dtype(self.vit_dtype)
+
+        def chunk_fn(args):
+            img_idx, cboxes, cflips = args
+            base = bases[img_idx]
+            views = render_crops(base, cboxes, cflips, self.input_size)
+            feats = self.vit.module.apply(
+                {"params": params},
+                views.astype(vit_dtype),
+                indices=[self.layer_index],
+                norm=True,
+            )[-1]
+            return feats.astype(self._pool_dtype)
+
+        img_ids = jnp.repeat(jnp.arange(n), nchunks)
+        boxes_c = boxes.reshape(n * nchunks, self.extract_bsz, 4)
+        flips_c = flips.reshape(n * nchunks, self.extract_bsz)
+        feats = jax.lax.map(chunk_fn, (img_ids, boxes_c, flips_c))
+        feats = feats.reshape(n, self.num_views, *self.feat_hw, -1)
+
+        full = self.vit.module.apply(
             {"params": params},
-            views.astype(jnp.dtype(self.vit_dtype)),
+            bases.astype(vit_dtype),
             indices=[self.layer_index],
             norm=True,
-        )[-1]
-        coords = view_coordinate_grids(
-            boxes, flips, self.feat_hw, self.input_size
-        )
-        return feats.astype(self._pool_dtype), coords
+        )[-1].astype(self._pool_dtype)
+        feats = jnp.concatenate([feats, full[:, None]], axis=1)
 
-    def _full_image_features(self, params, base: Array):
-        feats = self.vit.module.apply(
-            {"params": params},
-            base[None].astype(jnp.dtype(self.vit_dtype)),
-            indices=[self.layer_index],
-            norm=True,
-        )[-1]
-        return feats[0].astype(self._pool_dtype)
+        coords = jax.vmap(
+            lambda b, f: view_coordinate_grids(b, f, self.feat_hw, self.input_size)
+        )(boxes, flips)
+        full_coords = make_patch_coordinates(*self.feat_hw, 0.0, 1.0)
+        full_coords = jnp.broadcast_to(full_coords[None, None], (n, 1, *self.feat_hw, 2))
+        coords = jnp.concatenate([coords.astype(jnp.float32), full_coords], axis=1)
+        return feats, coords
 
     def extract_image(self, path_or_array):
         """-> (raw_features (V+1, h, w, C), coords (V+1, h, w, 2)) on device."""
-        base_np, boxes, flips = self.pipeline.prepare(path_or_array)
-        base = jnp.asarray(base_np)
-        feats_chunks, coords_chunks = [], []
-        for s in range(0, self.num_views, self.extract_bsz):
-            e = min(s + self.extract_bsz, self.num_views)
-            f, c = self._extract(
-                self.vit.params,
-                base,
-                jnp.asarray(boxes[s:e]),
-                jnp.asarray(flips[s:e]),
-            )
-            feats_chunks.append(f)
-            coords_chunks.append(c.astype(jnp.float32))
-        full = self._full_image_features(self.vit.params, base)
-        full_coords = make_patch_coordinates(*self.feat_hw, 0.0, 1.0)
-        feats = jnp.concatenate(feats_chunks + [full[None]], axis=0)
-        coords = jnp.concatenate(
-            coords_chunks + [full_coords[None]], axis=0
+        feats, coords = self.extract_batch([path_or_array])
+        return feats[0], coords[0]
+
+    def extract_batch(self, inputs: Sequence):
+        bases, boxes, flips = [], [], []
+        for item in inputs:
+            b, bx, fl = self.pipeline.prepare(item)
+            bases.append(b)
+            boxes.append(bx)
+            flips.append(fl)
+        return self._extract_all(
+            self.vit.params,
+            jnp.asarray(np.stack(bases)),
+            jnp.asarray(np.stack(boxes)),
+            jnp.asarray(np.stack(flips)),
         )
-        return feats, coords
 
     def denoise_batch(self, inputs: Sequence) -> Tuple[np.ndarray, np.ndarray, dict]:
         """Fit a batch of images concurrently.
@@ -146,13 +165,7 @@ class Stage1Engine:
         inputs: paths or arrays (<= images_per_batch).
         Returns (raw (N, h, w, C), denoised (N, h, w, C), metrics).
         """
-        feats, coords = [], []
-        for item in inputs:
-            f, c = self.extract_image(item)
-            feats.append(f)
-            coords.append(c)
-        raw_b = jnp.stack(feats)
-        crd_b = jnp.stack(coords)
+        raw_b, crd_b = self.extract_batch(inputs)
         keys = jax.random.split(
             jax.random.PRNGKey(self.seed), len(inputs)
         )
