@@ -55,6 +55,7 @@ class Stage1Engine:
     extract_bsz: int = 32
     images_per_batch: int = 4  # vmap width for the fit
     feature_dtype: str = "bfloat16"  # pool storage dtype
+    moments_dtype: str = "bfloat16"  # Adam moment storage in the fit
     vit_dtype: str = "bfloat16"
     vit_params: Optional[dict] = None
     checkpoint_path: Optional[str] = None
@@ -83,6 +84,7 @@ class Stage1Engine:
             num_iters=self.num_iters,
             warmup_iters=self.warmup_iters,
             pixel_bsz=self.pixel_bsz,
+            moments_dtype=jnp.dtype(self.moments_dtype),
         )
         self.pipeline = SingleImagePipeline(
             size=self.input_size,

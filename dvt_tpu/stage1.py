@@ -54,6 +54,11 @@ class Stage1Config:
     freeze_shared_artifacts_after: float = 0.5
     enable_residual_predictor: bool = True
     compute_dtype: Any = jnp.float32
+    # Adam moment storage. The fit is HBM-bound on the hash table's dense
+    # optimizer sweep (6 table-sized transfers/step); bf16 moments halve that
+    # traffic with negligible effect on the fitted field (the table itself
+    # stays fp32).
+    moments_dtype: Any = jnp.float32
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -97,11 +102,54 @@ def lr_at(cfg: Stage1Config, step: Array) -> Array:
     return jnp.where(step < cfg.warmup_iters, warm, cos)
 
 
+def _scale_by_adam(b1: float, b2: float, eps: float, moments_dtype):
+    """scale_by_adam with configurable moment storage dtype (both m and v).
+
+    Matches optax/torch Adam arithmetic; moments are stored in
+    ``moments_dtype`` and promoted to fp32 for the update math.
+    """
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=moments_dtype)
+        return {
+            "mu": jax.tree.map(zeros, params),
+            "nu": jax.tree.map(zeros, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        mu = jax.tree.map(
+            lambda m, g: (b1 * m.astype(jnp.float32)
+                          + (1 - b1) * g.astype(jnp.float32)),
+            state["mu"], grads,
+        )
+        nu = jax.tree.map(
+            lambda v, g: (b2 * v.astype(jnp.float32)
+                          + (1 - b2) * jnp.square(g.astype(jnp.float32))),
+            state["nu"], grads,
+        )
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+            mu, nu,
+        )
+        new_state = {
+            "mu": jax.tree.map(lambda m: m.astype(moments_dtype), mu),
+            "nu": jax.tree.map(lambda v: v.astype(moments_dtype), nu),
+            "count": count,
+        }
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
     """torch.optim.Adam semantics: additive L2 before the Adam moments."""
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+        _scale_by_adam(0.9, 0.99, 1e-15, cfg.moments_dtype),
         optax.scale_by_learning_rate(lambda step: lr_at(cfg, step)),
     )
 
