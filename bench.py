@@ -2,18 +2,23 @@
 
 Measures the reference's headline workload (main_img_denoising.py defaults:
 DINOv2-B, stride 14, 518^2, 768 views, 25k Adam steps per image) end to end:
-on-device crop rendering + ViT feature extraction + the vmapped 25k-step
-neural-field fit, in images/sec on a single chip.
+on-device crop rendering + ViT feature extraction + the vmapped neural-field
+fit, in images/sec on a single chip.
 
-Baseline: the reference runs one image per A100 process; its runtime prints
-put feature extraction + 25k-step fit at ~60 s/image on A100 (768 ViT-B
-fp32 forwards at 1369 tokens plus 25k tiny CUDA steps; see BASELINE.md -
-the repo publishes no official throughput, so vs_baseline uses this
-estimate: baseline_images_per_sec = 1/60).
+Method: compile explicitly, then time (a) one full extraction batch and
+(b) a BENCH_ITERS-step fit batch; the fit is a lax.scan with constant
+per-step cost, so the 25k-step time is BENCH_ITERS-time * 25000/BENCH_ITERS
+(exact modulo one compile, which is excluded). Set BENCH_ITERS=25000 for a
+fully-measured run. A device microbenchmark (HBM sweep + 2k matmul) is
+reported alongside, because tunneled dev chips can run far below spec.
+
+Baseline: the reference runs one image per A100 process at ~60 s/image
+(768 fp32 ViT-B forwards at 1369 tokens + a 25k-step python-loop fit; the
+repo publishes no official throughput - see BASELINE.md), so
+vs_baseline = images_per_sec / (1/60).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Env knobs: BENCH_IMAGES (default 4), BENCH_VIEWS (768), BENCH_ITERS (25000),
+Env knobs: BENCH_IMAGES (2), BENCH_VIEWS (768), BENCH_ITERS (2500),
 BENCH_FAST=1 (tiny smoke config).
 """
 
@@ -28,43 +33,66 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 BASELINE_SEC_PER_IMAGE_A100 = 60.0
+FULL_ITERS = 25000
 
 
 def find_demo_image():
-    for cand in [
-        "/root/reference/demo/assets/demo/cat.jpg",
-        "/root/reference/demo/cat.jpg",
-    ]:
-        if os.path.isfile(cand):
-            return cand
     import glob
 
-    hits = glob.glob("/root/reference/demo/**/*.jpg", recursive=True)
+    hits = sorted(glob.glob("/root/reference/demo/**/*.jpg", recursive=True))
     return hits[0] if hits else None
+
+
+def device_calibration(jax, jnp):
+    """Effective HBM GB/s and bf16 matmul TFLOPs of this chip."""
+    k = jax.random.PRNGKey(0)
+    big = jax.random.normal(k, (20_000_000,), jnp.float32)
+    sweep = jax.jit(lambda x: x * 1.000001 + 0.5)
+    np.asarray(sweep(big)[0])
+    t0 = time.time()
+    x = big
+    for _ in range(10):
+        x = sweep(x)
+    np.asarray(x[0])
+    gbps = 10 * 160e6 / (time.time() - t0) / 1e9  # read+write 80MB each
+
+    a = jax.random.normal(k, (2048, 2048), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    np.asarray(mm(a)[0, 0])
+    t0 = time.time()
+    x = a
+    for _ in range(10):
+        x = mm(x)
+    np.asarray(x[0, 0])
+    tflops = 10 * 2 * 2048**3 / (time.time() - t0) / 1e12
+    return round(gbps, 1), round(tflops, 2)
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from dvt_tpu.engine import Stage1Engine
+    from dvt_tpu.stage1 import fit_image_batch
 
     fast = os.environ.get("BENCH_FAST") == "1"
-    n_images = int(os.environ.get("BENCH_IMAGES", "2" if fast else "4"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "2"))
     num_views = int(os.environ.get("BENCH_VIEWS", "32" if fast else "768"))
-    num_iters = int(os.environ.get("BENCH_ITERS", "200" if fast else "25000"))
+    num_iters = int(os.environ.get("BENCH_ITERS", "200" if fast else "2500"))
+    scale = FULL_ITERS / num_iters
 
     engine = Stage1Engine(
         model_identifier="vit_base_patch14_dinov2.lvd142m",
         stride=14,
         num_views=num_views,
         num_iters=num_iters,
-        warmup_iters=max(num_iters // 10, 1),
+        warmup_iters=max(int(2500 * num_iters / FULL_ITERS), 1),
         images_per_batch=n_images,
     )
 
     img_path = find_demo_image()
+    rng = np.random.default_rng(0)
     if img_path is None:
-        rng = np.random.default_rng(0)
         inputs = [
             (rng.random((518, 518, 3)) * 255).astype(np.uint8)
             for _ in range(n_images)
@@ -73,8 +101,6 @@ def main():
         from dvt_tpu.data.single_image import load_image
 
         base = load_image(img_path)
-        rng = np.random.default_rng(0)
-        # distinct images: jitter the demo image so fits don't trivially share
         inputs = [
             np.clip(
                 base.astype(np.int16)
@@ -85,25 +111,32 @@ def main():
             for _ in range(n_images)
         ]
 
-    # warmup/compile pass on a single tiny batch (cached for the timed run)
-    t_compile = time.time()
-    raw, denoised, metrics = engine.denoise_batch(inputs)
-    jax.block_until_ready(denoised)
-    compile_and_run = time.time() - t_compile
+    gbps, tflops = device_calibration(jax, jnp)
 
-    # timed run
+    # ---- extraction: warm once, then time ----
+    raw_b, crd_b = engine.extract_batch(inputs)
+    jax.block_until_ready(raw_b)
     t0 = time.time()
-    raw, denoised, metrics = engine.denoise_batch(inputs)
-    jax.block_until_ready(denoised)
-    elapsed = time.time() - t0
+    raw_b, crd_b = engine.extract_batch(inputs)
+    jax.block_until_ready(raw_b)
+    t_extract = time.time() - t0
 
-    images_per_sec = n_images / elapsed
-    baseline_ips = 1.0 / BASELINE_SEC_PER_IMAGE_A100
+    # ---- fit: warm once (compile), then time ----
+    keys = jax.random.split(jax.random.PRNGKey(0), n_images)
+    den, metrics = fit_image_batch(keys, raw_b, crd_b, engine.cfg)
+    jax.block_until_ready(den)
+    t0 = time.time()
+    den, metrics = fit_image_batch(keys, raw_b, crd_b, engine.cfg)
+    jax.block_until_ready(den)
+    t_fit = time.time() - t0
+
+    sec_per_batch_full = t_extract + t_fit * scale
+    images_per_sec = n_images / sec_per_batch_full
     result = {
         "metric": "stage1_denoise_throughput",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / baseline_ips, 2),
+        "vs_baseline": round(images_per_sec * BASELINE_SEC_PER_IMAGE_A100, 2),
     }
     print(json.dumps(result))
     print(
@@ -112,13 +145,23 @@ def main():
                 "detail": {
                     "n_images": n_images,
                     "num_views": num_views,
-                    "num_iters": num_iters,
-                    "elapsed_s": round(elapsed, 2),
-                    "first_run_s": round(compile_and_run, 2),
+                    "measured_iters": num_iters,
+                    "reported_for_iters": FULL_ITERS,
+                    "extract_s": round(t_extract, 2),
+                    "fit_s_measured": round(t_fit, 2),
+                    "fit_ms_per_iter_per_batch": round(t_fit / num_iters * 1e3, 2),
                     "final_recon_cos": float(
-                        np.mean(metrics["final_recon_cos"])
+                        np.mean(np.asarray(metrics["final_recon_cos"]))
                     ),
                     "device": str(jax.devices()[0]),
+                    "device_hbm_gbps_measured": gbps,
+                    "device_bf16_tflops_measured": tflops,
+                    "note": (
+                        "fit time scaled linearly from measured_iters to "
+                        "25000 scan steps (constant per-step cost); this "
+                        "tunneled dev chip delivers the measured fraction "
+                        "of v5e spec (~820 GB/s, ~197 TFLOPs)"
+                    ),
                 }
             }
         ),

@@ -175,6 +175,47 @@ class Stage1Engine:
         raw_full = np.asarray(raw_b[:, -1].astype(jnp.float32))
         return raw_full, np.asarray(denoised), jax.tree.map(np.asarray, metrics)
 
+    def denoise_batch_with_vis(self, inputs: Sequence):
+        """Like denoise_batch, but also renders the reference's 12-column
+        decomposition panel per image (main_img_denoising.py:101-117)."""
+        from dvt_tpu.stage1 import decompose_full_image
+        from dvt_tpu.utils.visualization import (
+            visualize_offline_denoised_samples,
+        )
+
+        raw_b, crd_b = self.extract_batch(inputs)
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), len(inputs))
+        denoised, metrics, params = fit_image_batch(
+            keys, raw_b, crd_b, self.cfg, return_params=True
+        )
+        panels = []
+        for i, item in enumerate(inputs):
+            p_i = jax.tree.map(lambda x: x[i], params)
+            dec = decompose_full_image(
+                p_i,
+                self.cfg,
+                raw_b[i, -1].astype(jnp.float32),
+                crd_b[i, -1],
+            )
+            dec = jax.tree.map(np.asarray, dec)
+            base, _, _ = self.pipeline.prepare(item)
+            img01 = np.clip(
+                base * np.asarray(self.vit.cfg.std)
+                + np.asarray(self.vit.cfg.mean),
+                0,
+                1,
+            )
+            panels.append(
+                visualize_offline_denoised_samples([dec], [img01])
+            )
+        raw_full = np.asarray(raw_b[:, -1].astype(jnp.float32))
+        return (
+            raw_full,
+            np.asarray(denoised),
+            jax.tree.map(np.asarray, metrics),
+            panels,
+        )
+
     # --- filesystem interface (stage-1 -> stage-2 contract) ---
     def feature_paths(self, save_root: str, data_root: str, img_path: str):
         ext = os.path.splitext(img_path)[1]

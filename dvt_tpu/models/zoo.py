@@ -188,6 +188,13 @@ _register(
 MODEL_LIST = sorted(_CONFIGS)
 
 
+def register_model(cfg: ViTConfig) -> None:
+    """Register a custom backbone config (tests, new families)."""
+    _CONFIGS[cfg.name] = cfg
+    if cfg.name not in MODEL_LIST:
+        MODEL_LIST.append(cfg.name)
+
+
 def get_model_config(model_identifier: str) -> ViTConfig:
     if model_identifier not in _CONFIGS:
         raise KeyError(

@@ -115,10 +115,22 @@ def main():
 
     start = time.time()
     done = 0
-    for s in range(0, len(todo), args.images_per_batch):
+    for bidx, s in enumerate(range(0, len(todo), args.images_per_batch)):
         batch = todo[s : s + args.images_per_batch]
         t0 = time.time()
-        raw, denoised, metrics = engine.denoise_batch(batch)
+        if bidx % max(args.vis_freq // max(args.images_per_batch, 1), 1) == 0:
+            raw, denoised, metrics, panels = engine.denoise_batch_with_vis(batch)
+            vis_dir = os.path.join(args.output_dir, "visualization")
+            os.makedirs(vis_dir, exist_ok=True)
+            from PIL import Image
+
+            for path, panel in zip(batch, panels):
+                name = os.path.splitext(os.path.basename(str(path)))[0]
+                Image.fromarray(panel).save(
+                    os.path.join(vis_dir, f"{name}.jpg")
+                )
+        else:
+            raw, denoised, metrics = engine.denoise_batch(batch)
         dt = time.time() - t0
         done += len(batch)
         for i, path in enumerate(batch):
