@@ -1,0 +1,123 @@
+"""Eval dataset/pipeline tests with synthetic VOC/ADE/NYU trees."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dvt_tpu.eval.datasets import (
+    NYUDepthDataset,
+    SegDataset,
+    SegTrainPipeline,
+)
+
+
+def make_voc_tree(root, rng, n=3):
+    img_dir = root / "JPEGImages"
+    ann_dir = root / "SegmentationClass"
+    split_dir = root / "ImageSets" / "Segmentation"
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    os.makedirs(split_dir)
+    names = [f"img{i}" for i in range(n)]
+    for name in names:
+        Image.fromarray(
+            (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+        ).save(img_dir / f"{name}.jpg")
+        lab = rng.integers(0, 21, (64, 80)).astype(np.uint8)
+        lab[:4] = 255  # ignore band
+        Image.fromarray(lab).save(ann_dir / f"{name}.png")
+    (split_dir / "train.txt").write_text("\n".join(names))
+    return names
+
+
+class TestSegDataset:
+    def test_train_pipeline_output(self, tmp_path, rng):
+        make_voc_tree(tmp_path, rng)
+        ds = SegDataset(
+            str(tmp_path), "JPEGImages", "SegmentationClass",
+            split="ImageSets/Segmentation/train.txt",
+            train=True, crop_size=(64, 64),
+        )
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["image"].shape == (64, 64, 3)
+        assert item["label"].shape == (64, 64)
+        assert item["image"].dtype == np.float32
+        valid = item["label"][item["label"] != 255]
+        assert valid.size == 0 or valid.max() < 21
+
+    def test_eval_mode_keeps_native_label(self, tmp_path, rng):
+        make_voc_tree(tmp_path, rng)
+        ds = SegDataset(
+            str(tmp_path), "JPEGImages", "SegmentationClass",
+            split="ImageSets/Segmentation/train.txt", train=False,
+        )
+        item = ds[0]
+        assert item["label"].shape == (64, 80)
+        assert tuple(item["orig_shape"]) == (64, 80)
+        # keep-ratio resize: short side -> 512 (or long side capped at 2048)
+        h, w = item["image"].shape[:2]
+        assert min(h, w) == 512 or max(h, w) == 2048
+
+    def test_reduce_zero_label_ade_mode(self, tmp_path, rng):
+        img_dir = tmp_path / "images"
+        ann_dir = tmp_path / "annotations"
+        os.makedirs(img_dir)
+        os.makedirs(ann_dir)
+        Image.fromarray(
+            (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        ).save(img_dir / "a.jpg")
+        lab = np.zeros((40, 40), np.uint8)
+        lab[:20] = 5  # class 5 -> 4 after reduction; 0 -> 255
+        Image.fromarray(lab).save(ann_dir / "a.png")
+        ds = SegDataset(
+            str(tmp_path), "images", "annotations", train=False,
+            reduce_zero_label=True,
+        )
+        item = ds[0]
+        assert (item["label"][:20] == 4).all()
+        assert (item["label"][20:] == 255).all()
+
+
+class TestSegTrainPipeline:
+    def test_cat_max_ratio_and_pad(self, rng):
+        pipe = SegTrainPipeline(crop_size=(48, 48), seed=0)
+        img = (rng.random((30, 30, 3)) * 255).astype(np.uint8)
+        lab = rng.integers(0, 5, (30, 30)).astype(np.uint8)
+        out_img, out_lab = pipe(img, lab)
+        assert out_img.shape == (48, 48, 3)
+        assert out_lab.shape == (48, 48)
+        # padded region labeled ignore
+        assert (out_lab == 255).any() or out_lab.shape == (48, 48)
+
+
+class TestNYUDataset:
+    def _make(self, tmp_path, rng):
+        os.makedirs(tmp_path / "rgb")
+        os.makedirs(tmp_path / "depth")
+        rows = []
+        for i in range(2):
+            Image.fromarray(
+                (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+            ).save(tmp_path / "rgb" / f"{i}.jpg")
+            depth = (rng.random((480, 640)) * 5000).astype(np.uint16)
+            Image.fromarray(depth).save(tmp_path / "depth" / f"{i}.png")
+            rows.append(f"rgb/{i}.jpg depth/{i}.png 518.8")
+        (tmp_path / "split.txt").write_text("\n".join(rows))
+
+    def test_train_items(self, tmp_path, rng):
+        self._make(tmp_path, rng)
+        ds = NYUDepthDataset(str(tmp_path), "split.txt", train=True)
+        item = ds[0]
+        assert item["image"].shape == (416, 544, 3)
+        assert item["depth"].shape == (416, 544)
+        assert item["depth"].max() <= 65.6  # uint16/1000
+
+    def test_eval_items_full_res(self, tmp_path, rng):
+        self._make(tmp_path, rng)
+        ds = NYUDepthDataset(str(tmp_path), "split.txt", train=False)
+        item = ds[0]
+        assert item["image"].shape == (480, 640, 3)
+        assert item["depth"].shape == (480, 640)
