@@ -34,6 +34,9 @@ def get_args():
     p.add_argument("--save_root", type=str, default=None)
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--num_imgs", type=int, default=100)
+    p.add_argument("--num_shards", type=int, default=None,
+                   help="shard the image list (default: jax.process_count())")
+    p.add_argument("--shard_id", type=int, default=None)
     p.add_argument("--num_views", type=int, default=768)
     p.add_argument("--num_iters", type=int, default=25000)
     p.add_argument("--warmup_iters", type=int, default=2500)
@@ -75,7 +78,17 @@ def collect_filenames(args):
             glob.glob(os.path.join(args.img_path, "**/*"), recursive=True)
         )
         names = [n for n in names if os.path.isfile(n)]
-    return names[args.start_idx : args.start_idx + args.num_imgs]
+    names = names[args.start_idx : args.start_idx + args.num_imgs]
+    # multi-host job sharding: each process takes a stripe (the reference
+    # does this with one process per GPU + start_idx arithmetic,
+    # sample_scripts/stage1.sh:8-18)
+    import jax
+
+    num_shards = args.num_shards or jax.process_count()
+    shard_id = args.shard_id if args.shard_id is not None else jax.process_index()
+    if num_shards > 1:
+        names = names[shard_id::num_shards]
+    return names
 
 
 def main():
