@@ -153,6 +153,7 @@ class Attention(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     precision: Any = None
+    attention_impl: str = "einsum"  # "einsum" | "flash" (Pallas, inference)
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -178,7 +179,12 @@ class Attention(nn.Module):
             sin, cos = rope
             q = _apply_rope(q, sin, cos, num_prefix)
             k = _apply_rope(k, sin, cos, num_prefix)
-        out = sdpa(q, k, v, precision=self.precision)
+        if self.attention_impl == "flash":
+            from dvt_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            out = sdpa(q, k, v, precision=self.precision)
         out = out.reshape(b, n, c)
         out = dense(c, "proj")(out)
         return out
@@ -188,6 +194,7 @@ class Block(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     precision: Any = None
+    attention_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -197,7 +204,8 @@ class Block(nn.Module):
         )
         y = ln("norm1")(x)
         y = Attention(
-            cfg, dtype=self.dtype, precision=self.precision, name="attn"
+            cfg, dtype=self.dtype, precision=self.precision,
+            attention_impl=self.attention_impl, name="attn",
         )(y, rope=rope, num_prefix=num_prefix)
         if cfg.init_values is not None:
             y = LayerScale(cfg.embed_dim, cfg.init_values, name="ls1")(y)
@@ -241,6 +249,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     remat: bool = False
+    attention_impl: str = "einsum"  # "flash" for long-sequence inference
 
     def feat_grid(self, h: int, w: int) -> Tuple[int, int]:
         s = self.stride or self.cfg.patch_size
@@ -341,7 +350,7 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = block_cls(
                 cfg, dtype=self.dtype, precision=self.precision,
-                name=f"blocks_{i}",
+                attention_impl=self.attention_impl, name=f"blocks_{i}",
             )(x, rope, num_prefix)
             if i in indices:
                 taps[i] = x
