@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from dvt_tpu.data.single_image import load_image
-from dvt_tpu.eval.datasets import SEG_MEAN, SEG_STD, _load_label
+from dvt_tpu.eval.datasets import SEG_MEAN, SEG_STD
 
 
 def garg_crop_mask(shape: Tuple[int, int]) -> np.ndarray:
@@ -59,7 +59,10 @@ class CityscapesDepthDataset:
         return len(self.items)
 
     def _depth(self, disp_path: str, cam_path: Optional[str]) -> np.ndarray:
-        disp_png = _load_label(os.path.join(self.data_root, disp_path))
+        from PIL import Image
+
+        with Image.open(os.path.join(self.data_root, disp_path)) as im:
+            disp_png = np.asarray(im)  # uint16 disparity png
         disparity = (disp_png.astype(np.float32) - 1.0) / self.depth_scale
         invalid = disparity <= 0
         disparity[invalid] = 1.0
