@@ -29,10 +29,12 @@ ADE_CLASSES = 150
 
 
 def _load_label(path: str) -> np.ndarray:
+    """Load an annotation png in its native dtype (uint8 class maps,
+    uint16 depth maps)."""
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im, np.uint8)
+        return np.asarray(im)
 
 
 def _bilinear_resize_u8(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
