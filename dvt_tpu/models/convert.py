@@ -136,3 +136,91 @@ def load_torch_vit_checkpoint(path: str, cfg: ViTConfig) -> Dict[str, Any]:
                 payload = payload[key]
                 break
     return convert_vit_state_dict(payload, cfg)
+
+
+def export_denoiser_state_dict(params: Mapping[str, Any]):
+    """Inverse of convert_denoiser_state_dict: our Denoiser params -> a
+    reference-style torch state dict ({"denoiser": ...} payload contents),
+    so stage-2 checkpoints trained here load in the reference codebase."""
+    import torch
+
+    sd = {}
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    if "pos_embed" in params:
+        sd["pos_embed"] = t(params["pos_embed"])
+    blocks = sorted(k for k in params if k.startswith("blocks_"))
+    multi = len(blocks) > 1
+    for k in blocks:
+        i = int(k.split("_")[1])
+        b = f"denoiser.{i}" if multi else "denoiser"
+        p = params[k]
+        sd[f"{b}.norm1.weight"] = t(p["norm1"]["scale"])
+        sd[f"{b}.norm1.bias"] = t(p["norm1"]["bias"])
+        sd[f"{b}.norm2.weight"] = t(p["norm2"]["scale"])
+        sd[f"{b}.norm2.bias"] = t(p["norm2"]["bias"])
+        sd[f"{b}.attn.qkv.weight"] = t(p["attn"]["qkv"]["kernel"]).T.contiguous()
+        sd[f"{b}.attn.qkv.bias"] = t(p["attn"]["qkv"]["bias"])
+        sd[f"{b}.attn.proj.weight"] = t(p["attn"]["proj"]["kernel"]).T.contiguous()
+        sd[f"{b}.attn.proj.bias"] = t(p["attn"]["proj"]["bias"])
+        sd[f"{b}.mlp.fc1.weight"] = t(p["mlp"]["fc1"]["kernel"]).T.contiguous()
+        sd[f"{b}.mlp.fc1.bias"] = t(p["mlp"]["fc1"]["bias"])
+        sd[f"{b}.mlp.fc2.weight"] = t(p["mlp"]["fc2"]["kernel"]).T.contiguous()
+        sd[f"{b}.mlp.fc2.bias"] = t(p["mlp"]["fc2"]["bias"])
+    return sd
+
+
+def export_vit_state_dict(params: Mapping[str, Any], cfg: ViTConfig):
+    """Our ViT params -> timm-style state dict (stage-3 distilled backbones
+    consumable by the reference / timm loaders)."""
+    import torch
+
+    sd = {}
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    sd["patch_embed.proj.weight"] = t(
+        np.transpose(np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1))
+    )
+    sd["patch_embed.proj.bias"] = t(params["patch_embed"]["bias"])
+    sd["pos_embed"] = t(params["pos_embed"])
+    if cfg.class_token:
+        sd["cls_token"] = t(params["cls_token"])
+    if cfg.reg_tokens:
+        sd["reg_token"] = t(params["reg_token"])
+    if cfg.pre_norm and "norm_pre" in params:
+        sd["norm_pre.weight"] = t(params["norm_pre"]["scale"])
+        sd["norm_pre.bias"] = t(params["norm_pre"]["bias"])
+    for i in range(cfg.depth):
+        p = params[f"blocks_{i}"]
+        b = f"blocks.{i}"
+        sd[f"{b}.norm1.weight"] = t(p["norm1"]["scale"])
+        sd[f"{b}.norm1.bias"] = t(p["norm1"]["bias"])
+        sd[f"{b}.norm2.weight"] = t(p["norm2"]["scale"])
+        sd[f"{b}.norm2.bias"] = t(p["norm2"]["bias"])
+        if cfg.eva_arch:
+            for ours, theirs in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                                 ("v_proj", "v_proj"), ("proj", "proj")):
+                sd[f"{b}.attn.{theirs}.weight"] = t(
+                    p["attn"][ours]["kernel"]).T.contiguous()
+                if "bias" in p["attn"][ours]:
+                    sd[f"{b}.attn.{theirs}.bias"] = t(p["attn"][ours]["bias"])
+            for name in ("fc1_g", "fc1_x", "fc2"):
+                sd[f"{b}.mlp.{name}.weight"] = t(
+                    p["mlp"][name]["kernel"]).T.contiguous()
+                sd[f"{b}.mlp.{name}.bias"] = t(p["mlp"][name]["bias"])
+            sd[f"{b}.mlp.norm.weight"] = t(p["mlp"]["norm"]["scale"])
+            sd[f"{b}.mlp.norm.bias"] = t(p["mlp"]["norm"]["bias"])
+        else:
+            sd[f"{b}.attn.qkv.weight"] = t(p["attn"]["qkv"]["kernel"]).T.contiguous()
+            if "bias" in p["attn"]["qkv"]:
+                sd[f"{b}.attn.qkv.bias"] = t(p["attn"]["qkv"]["bias"])
+            sd[f"{b}.attn.proj.weight"] = t(p["attn"]["proj"]["kernel"]).T.contiguous()
+            sd[f"{b}.attn.proj.bias"] = t(p["attn"]["proj"]["bias"])
+            sd[f"{b}.mlp.fc1.weight"] = t(p["mlp"]["fc1"]["kernel"]).T.contiguous()
+            sd[f"{b}.mlp.fc1.bias"] = t(p["mlp"]["fc1"]["bias"])
+            sd[f"{b}.mlp.fc2.weight"] = t(p["mlp"]["fc2"]["kernel"]).T.contiguous()
+            sd[f"{b}.mlp.fc2.bias"] = t(p["mlp"]["fc2"]["bias"])
+        if cfg.init_values is not None:
+            sd[f"{b}.ls1.gamma"] = t(p["ls1"]["gamma"])
+            sd[f"{b}.ls2.gamma"] = t(p["ls2"]["gamma"])
+    sd["norm.weight"] = t(params["norm"]["scale"])
+    sd["norm.bias"] = t(params["norm"]["bias"])
+    return sd

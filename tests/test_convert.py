@@ -113,3 +113,47 @@ def test_denoiser_conversion_matches_module(multi):
     out = module.apply({"params": params}, jnp.ones((1, 4, 4, dim)))
     assert out.shape == (1, 4, 4, dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoiser_export_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.models.convert import export_denoiser_state_dict
+    from dvt_tpu.models.online_denoiser import Denoiser
+
+    module = Denoiser(noise_map_height=3, noise_map_width=3, feat_dim=64)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 3, 64)))[
+        "params"
+    ]
+    sd = export_denoiser_state_dict(params)
+    back = convert_denoiser_state_dict(sd)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        node = back
+        for k in path:
+            node = node[k.key]
+        np.testing.assert_allclose(np.asarray(leaf), node, atol=1e-6)
+
+
+def test_vit_export_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.models.convert import export_vit_state_dict
+    from dvt_tpu.models.vit import VisionTransformer
+
+    cfg = ViTConfig(
+        name="t", embed_dim=32, depth=2, num_heads=2, patch_size=4,
+        pretrain_img_size=8, init_values=1e-5,
+    )
+    model = VisionTransformer(cfg, stride=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))[
+        "params"
+    ]
+    sd = export_vit_state_dict(params, cfg)
+    back = convert_vit_state_dict(sd, cfg)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        node = back
+        for k in path:
+            node = node[k.key]
+        np.testing.assert_allclose(np.asarray(leaf), node, atol=1e-6)
