@@ -35,6 +35,7 @@ from dvt_tpu.models.vit import ViTWrapper
 from dvt_tpu.stage1 import (
     Stage1Config,
     fit_image_batch,
+    fit_image_batch_chunked,
     make_patch_coordinates,
 )
 
@@ -54,6 +55,7 @@ class Stage1Engine:
     pixel_bsz: int = 2048
     extract_bsz: int = 32
     images_per_batch: int = 4  # vmap width for the fit
+    fit_chunk_iters: int = 5000  # steps per dispatch (watchdog-friendly)
     feature_dtype: str = "bfloat16"  # pool storage dtype
     moments_dtype: str = "bfloat16"  # Adam moment storage in the fit
     vit_dtype: str = "bfloat16"
@@ -171,7 +173,9 @@ class Stage1Engine:
         keys = jax.random.split(
             jax.random.PRNGKey(self.seed), len(inputs)
         )
-        denoised, metrics = fit_image_batch(keys, raw_b, crd_b, self.cfg)
+        denoised, metrics = fit_image_batch_chunked(
+            keys, raw_b, crd_b, self.cfg, self.fit_chunk_iters
+        )
         raw_full = np.asarray(raw_b[:, -1].astype(jnp.float32))
         return raw_full, np.asarray(denoised), jax.tree.map(np.asarray, metrics)
 
@@ -185,8 +189,9 @@ class Stage1Engine:
 
         raw_b, crd_b = self.extract_batch(inputs)
         keys = jax.random.split(jax.random.PRNGKey(self.seed), len(inputs))
-        denoised, metrics, params = fit_image_batch(
-            keys, raw_b, crd_b, self.cfg, return_params=True
+        denoised, metrics, params = fit_image_batch_chunked(
+            keys, raw_b, crd_b, self.cfg, self.fit_chunk_iters,
+            return_params=True,
         )
         panels = []
         for i, item in enumerate(inputs):

@@ -215,29 +215,18 @@ def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
     return apply_losses(params["denoiser"])
 
 
-def fit_one_image(
-    key: Array,
-    raw_features: Array,      # (V+1, h, w, C) - last slot is the full image
-    pixel_coords: Array,      # (V+1, h, w, 2) in [0, 1]
-    cfg: Stage1Config,
-    return_params: bool = False,
-) -> Tuple[Array, Dict[str, Array]]:
-    """Run the full stage-1 fit for one image; vmap-able over a batch.
+def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
+                 cfg: Stage1Config, start, length: int):
+    """Run ``length`` fit steps from absolute step ``start``.
 
-    Returns (denoised (h, w, C) fp32 - the field on the full grid - and a
-    metrics dict of per-step losses plus final reconstruction quality).
+    The per-step PRNG is fold_in(loop_key, absolute_step), so splitting the
+    25k-step loop across several dispatches (watchdog-friendly on tunneled
+    dev chips) is bit-identical to one big scan.
     """
     denoiser, field = cfg.modules()
-    h, w = cfg.grid_hw
-    hw = h * w
+    hw = cfg.noise_map_height * cfg.noise_map_width
     pool = cfg.pool_size
-
-    init_key, loop_key = jax.random.split(key)
-    params, opt_state = init_fit(init_key, cfg)
     opt = make_optimizer(cfg)
-
-    raw_flat = raw_features.reshape(pool, cfg.feat_dim)
-    coords_flat = pixel_coords.reshape(pool, 2).astype(jnp.float32)
     freeze_after = int(cfg.freeze_shared_artifacts_after * cfg.num_iters)
 
     def step_fn(carry, step):
@@ -262,15 +251,20 @@ def fit_one_image(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), metrics
 
-    (params, _), step_metrics = jax.lax.scan(
-        step_fn, (params, opt_state), jnp.arange(cfg.num_iters)
+    steps = start + jnp.arange(length)
+    (params, opt_state), step_metrics = jax.lax.scan(
+        step_fn, (params, opt_state), steps
     )
+    return params, opt_state, step_metrics
 
-    # ---- export: field on the full [0,1] grid (the stage-2 target) ----
+
+def _export_single(params, raw_features, cfg: Stage1Config):
+    """Field on the full [0,1] grid (the stage-2 target) + recon quality."""
+    _, field = cfg.modules()
+    h, w = cfg.grid_hw
     full_coords = make_patch_coordinates(h, w, 0.0, 1.0)
     denoised = field.apply({"params": params["field"]}, full_coords)
     denoised = denoised.astype(jnp.float32)
-
     raw_full = raw_features[-1].astype(jnp.float32)
     final_cos = jnp.mean(
         cosine_similarity(
@@ -279,6 +273,32 @@ def fit_one_image(
             raw_full.reshape(-1, cfg.feat_dim),
         )
     )
+    return denoised, final_cos
+
+
+def fit_one_image(
+    key: Array,
+    raw_features: Array,      # (V+1, h, w, C) - last slot is the full image
+    pixel_coords: Array,      # (V+1, h, w, 2) in [0, 1]
+    cfg: Stage1Config,
+    return_params: bool = False,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Run the full stage-1 fit for one image; vmap-able over a batch.
+
+    Returns (denoised (h, w, C) fp32 - the field on the full grid - and a
+    metrics dict of per-step losses plus final reconstruction quality).
+    """
+    pool = cfg.pool_size
+    init_key, loop_key = jax.random.split(key)
+    params, opt_state = init_fit(init_key, cfg)
+    raw_flat = raw_features.reshape(pool, cfg.feat_dim)
+    coords_flat = pixel_coords.reshape(pool, 2).astype(jnp.float32)
+
+    params, opt_state, step_metrics = _scan_single(
+        loop_key, params, opt_state, raw_flat, coords_flat, cfg,
+        jnp.zeros((), jnp.int32), cfg.num_iters,
+    )
+    denoised, final_cos = _export_single(params, raw_features, cfg)
     metrics = {
         "loss_history": step_metrics["loss"],
         "final_loss": step_metrics["loss"][-1],
@@ -317,6 +337,81 @@ def fit_image_batch(keys: Array, raw_features: Array, pixel_coords: Array,
     return jax.vmap(
         lambda k, r, c: fit_one_image(k, r, c, cfg, return_params)
     )(keys, raw_features, pixel_coords)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_batch(keys, raw_features, pixel_coords, cfg: Stage1Config):
+    def one(key, raw, coords):
+        init_key, loop_key = jax.random.split(key)
+        params, opt_state = init_fit(init_key, cfg)
+        return params, opt_state, loop_key
+
+    params, opt_state, loop_keys = jax.vmap(one)(
+        keys, raw_features, pixel_coords
+    )
+    return {"params": params, "opt_state": opt_state, "loop_keys": loop_keys}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "length"),
+                   donate_argnums=(0,))
+def _chunk_batch(state, raw_features, pixel_coords, cfg: Stage1Config,
+                 start, length: int):
+    pool = cfg.pool_size
+
+    def one(loop_key, params, opt_state, raw, coords):
+        raw_flat = raw.reshape(pool, cfg.feat_dim)
+        coords_flat = coords.reshape(pool, 2).astype(jnp.float32)
+        params, opt_state, step_metrics = _scan_single(
+            loop_key, params, opt_state, raw_flat, coords_flat, cfg,
+            start, length,
+        )
+        return params, opt_state, step_metrics["loss"]
+
+    params, opt_state, losses = jax.vmap(one)(
+        state["loop_keys"], state["params"], state["opt_state"],
+        raw_features, pixel_coords,
+    )
+    return (
+        {"params": params, "opt_state": opt_state,
+         "loop_keys": state["loop_keys"]},
+        losses,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _export_batch(state, raw_features, cfg: Stage1Config):
+    return jax.vmap(lambda p, r: _export_single(p, r, cfg))(
+        state["params"], raw_features
+    )
+
+
+def fit_image_batch_chunked(keys, raw_features, pixel_coords,
+                            cfg: Stage1Config, chunk_iters: int,
+                            return_params: bool = False):
+    """Identical numerics to fit_image_batch, split over several dispatches
+    of <= chunk_iters steps each (needed where long-running single programs
+    trip device watchdogs; also enables mid-fit progress reporting)."""
+    state = _init_batch(keys, raw_features, pixel_coords, cfg)
+    losses = []
+    start = 0
+    while start < cfg.num_iters:
+        length = min(chunk_iters, cfg.num_iters - start)
+        state, chunk_losses = _chunk_batch(
+            state, raw_features, pixel_coords, cfg,
+            jnp.asarray(start, jnp.int32), length,
+        )
+        losses.append(chunk_losses)
+        start += length
+    denoised, final_cos = _export_batch(state, raw_features, cfg)
+    loss_history = jnp.concatenate(losses, axis=1)
+    metrics = {
+        "loss_history": loss_history,
+        "final_loss": loss_history[:, -1],
+        "final_recon_cos": final_cos,
+    }
+    if return_params:
+        return denoised, metrics, state["params"]
+    return denoised, metrics
 
 
 def fit_image_batch_sharded(mesh, keys, raw_features, pixel_coords,

@@ -153,3 +153,29 @@ class TestFit:
         )
         assert den.shape == (n, *cfg.grid_hw, cfg.feat_dim)
         assert np.isfinite(np.asarray(den)).all()
+
+    def test_chunked_matches_single_dispatch(self):
+        from dvt_tpu.stage1 import fit_image_batch_chunked
+
+        cfg = small_cfg(num_iters=60, warmup_iters=6)
+        raws, crds = [], []
+        for i in range(2):
+            r, c, _, _ = synth_problem(cfg, jax.random.PRNGKey(20 + i))
+            raws.append(r)
+            crds.append(c)
+        raw_b = jnp.stack(raws)
+        crd_b = jnp.stack(crds)
+        keys = jax.random.split(jax.random.PRNGKey(4), 2)
+
+        den_single, met_single = fit_image_batch(keys, raw_b, crd_b, cfg)
+        den_chunk, met_chunk = fit_image_batch_chunked(
+            keys, raw_b, crd_b, cfg, chunk_iters=25
+        )
+        np.testing.assert_allclose(
+            np.asarray(den_chunk), np.asarray(den_single), atol=2e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(met_chunk["loss_history"]),
+            np.asarray(met_single["loss_history"]),
+            atol=1e-5, rtol=1e-4,
+        )
