@@ -79,7 +79,7 @@ def main():
     import jax.numpy as jnp
 
     from dvt_tpu.engine import Stage1Engine
-    from dvt_tpu.stage1 import fit_image_batch
+    from dvt_tpu.stage1 import fit_image_batch_chunked
 
     fast = os.environ.get("BENCH_FAST") == "1"
     n_images = int(os.environ.get("BENCH_IMAGES", "2"))
@@ -127,12 +127,18 @@ def main():
     jax.block_until_ready(raw_b)
     t_extract = time.time() - t0
 
-    # ---- fit: warm once (compile), then time ----
+    # ---- fit: warm once (compile), then time; chunked dispatches keep
+    # each device program under tunnel watchdog limits ----
+    chunk = int(os.environ.get("BENCH_CHUNK", "1000"))
     keys = jax.random.split(jax.random.PRNGKey(0), n_images)
-    den, metrics = fit_image_batch(keys, raw_b, crd_b, engine.cfg)
+    den, metrics = fit_image_batch_chunked(
+        keys, raw_b, crd_b, engine.cfg, chunk
+    )
     jax.block_until_ready(den)
     t0 = time.time()
-    den, metrics = fit_image_batch(keys, raw_b, crd_b, engine.cfg)
+    den, metrics = fit_image_batch_chunked(
+        keys, raw_b, crd_b, engine.cfg, chunk
+    )
     jax.block_until_ready(den)
     t_fit = time.time() - t0
 
