@@ -39,6 +39,28 @@ def initialize_distributed(coordinator: Optional[str] = None,
     )
 
 
+def safe_donate_argnums(*argnums: int):
+    """Buffer donation, gated off on the experimental axon PJRT backend.
+
+    Donating large train states into big fused programs triggers
+    INVALID_ARGUMENT runtime faults on axon (observed with ViT-B stage-3
+    steps); plain copies are correct everywhere, just use more HBM.
+    Override with DVT_DONATE=1/0.
+    """
+    import os
+
+    flag = os.environ.get("DVT_DONATE", "auto")
+    if flag == "1":
+        return tuple(argnums)
+    if flag == "0":
+        return ()
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        version = ""
+    return () if "axon" in version else tuple(argnums)
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, model) mesh over the available devices.

@@ -22,6 +22,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dvt_tpu.models.offline_denoiser import cosine_similarity
+from dvt_tpu.parallel.mesh import safe_donate_argnums
 from dvt_tpu.models.online_denoiser import Denoiser
 from dvt_tpu.train.optim import make_adamw, sqrt_scaled_lr
 from dvt_tpu.train.schedules import cosine_schedule
@@ -98,7 +99,7 @@ class Stage2Trainer:
             self._train_step,
             in_shardings=(repl, (data_sh, data_sh)),
             out_shardings=(repl, repl),
-            donate_argnums=(0,),
+            donate_argnums=safe_donate_argnums(0),
         )
 
     def _train_step(self, state, batch):

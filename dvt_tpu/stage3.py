@@ -25,6 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from dvt_tpu.models.online_denoiser import Denoiser
 from dvt_tpu.models.vit import VisionTransformer
 from dvt_tpu.models.zoo import ViTConfig, get_model_config
+from dvt_tpu.parallel.mesh import safe_donate_argnums
 from dvt_tpu.parallel.sharding import param_shardings, shard_params
 from dvt_tpu.stage2 import denoise_loss
 from dvt_tpu.train.optim import make_adamw, sqrt_scaled_lr
@@ -127,7 +128,9 @@ class Stage3Trainer:
         # + tx.init inherit shardings); let jit follow the data. Only the
         # incoming image batch needs an explicit sharding.
         self._data_sharding = NamedSharding(mesh, P("data"))
-        self._step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._step = jax.jit(
+            self._train_step, donate_argnums=safe_donate_argnums(0)
+        )
 
     def _student_feats(self, params, images):
         return self.vit.apply({"params": params}, images, norm=True)[-1]
