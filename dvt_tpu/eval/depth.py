@@ -133,7 +133,8 @@ class DepthLinearProbe:
     wd 0.1... the config uses lr=0.005/wd=0.005 variants; defaults here match
     the shipped config's optimizer block)."""
 
-    feature_fn: Callable[[Array], Array]
+    feature_fn: Callable  # (images) -> feats, or (feature_params, images)
+    feature_params: Any = None
     min_depth: float = 0.001
     max_depth: float = 10.0
     lr: float = 5e-3
@@ -154,11 +155,16 @@ class DepthLinearProbe:
         self.tx = optax.adamw(
             self.schedule, weight_decay=self.weight_decay
         )
-        self._train_jit = jax.jit(self._train_step, donate_argnums=(0,))
+        self._train_jit = jax.jit(self._train_step)
         self._pred_jit = jax.jit(self._predict)
 
+    def _features(self, fp, images):
+        if self.feature_params is None:
+            return self.feature_fn(images)
+        return self.feature_fn(fp, images)
+
     def init_state(self, example_images: Array):
-        feats = self.feature_fn(example_images[:1])
+        feats = self._features(self.feature_params, example_images[:1])
         variables = self.head.init(
             jax.random.PRNGKey(self.seed), feats, train=False
         )
@@ -170,8 +176,8 @@ class DepthLinearProbe:
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def _loss(self, params, batch_stats, images, gt):
-        feats = jax.lax.stop_gradient(self.feature_fn(images))
+    def _loss(self, params, batch_stats, images, gt, fp):
+        feats = jax.lax.stop_gradient(self._features(fp, images))
         pred, updates = self.head.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
@@ -186,10 +192,10 @@ class DepthLinearProbe:
         loss = loss + self.grad_weight * gl / gt.shape[0]
         return loss, updates["batch_stats"]
 
-    def _train_step(self, state, images, gt):
+    def _train_step(self, state, images, gt, fp):
         (loss, new_stats), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state["params"], state["batch_stats"], images, gt)
+        )(state["params"], state["batch_stats"], images, gt, fp)
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]
         )
@@ -205,10 +211,10 @@ class DepthLinearProbe:
         )
 
     def train_step(self, state, images, gt):
-        return self._train_jit(state, images, gt)
+        return self._train_jit(state, images, gt, self.feature_params)
 
-    def _predict(self, state, images):
-        feats = self.feature_fn(images)
+    def _predict(self, state, images, fp):
+        feats = self._features(fp, images)
         pred = self.head.apply(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             feats,
@@ -217,4 +223,4 @@ class DepthLinearProbe:
         return bilinear_upsample(pred[..., None], images.shape[1:3])[..., 0]
 
     def predict(self, state, images: Array) -> Array:
-        return self._pred_jit(state, images)
+        return self._pred_jit(state, images, self.feature_params)

@@ -40,20 +40,26 @@ def make_feature_fn(
     denoiser_params=None,
     vit_params=None,
     pad_multiple: Optional[int] = None,
-) -> Callable[[Array], Array]:
-    """Build feature_fn(images (B,H,W,3)) -> (B, h, w, C) for the probes."""
-    params = vit_params if vit_params is not None else vit_wrapper.params
+):
+    """Build (feature_fn(params, images) -> (B, h, w, C), params) for the
+    probes. Backbone params are threaded as explicit jit arguments - baking
+    a ViT-B as closure constants inflates the serialized program past
+    compile-service request limits."""
+    params = {
+        "vit": vit_params if vit_params is not None else vit_wrapper.params,
+        "denoiser": denoiser_params,
+    }
     n = [vit_wrapper.last_layer_index]
 
-    def fn(images: Array) -> Array:
+    def fn(p, images: Array) -> Array:
         x = images
         if pad_multiple:
             x = center_pad(x, pad_multiple)
         feats = vit_wrapper.get_intermediate_layers(
-            x, n=n, norm=True, params=params
+            x, n=n, norm=True, params=p["vit"]
         )[-1]
         if denoiser is not None:
-            feats = denoiser.apply({"params": denoiser_params}, feats)
+            feats = denoiser.apply({"params": p["denoiser"]}, feats)
         return jax.lax.stop_gradient(feats)
 
-    return fn
+    return fn, params

@@ -106,8 +106,9 @@ class SegLinearProbe:
     modes of evaluate_dense_tasks.py:183-214).
     """
 
-    feature_fn: Callable[[Array], Array]
+    feature_fn: Callable  # (images) -> feats, or (feature_params, images)
     num_classes: int
+    feature_params: Any = None  # threaded as a jit argument when given
     mesh: Any = None
     lr: float = 1e-3
     weight_decay: float = 1e-4
@@ -126,8 +127,13 @@ class SegLinearProbe:
         self._train_jit = None
         self._logits_jit = jax.jit(self._logits)
 
+    def _features(self, fp, images):
+        if self.feature_params is None:
+            return self.feature_fn(images)
+        return self.feature_fn(fp, images)
+
     def init_state(self, example_images: Array):
-        feats = self.feature_fn(example_images[:1])
+        feats = self._features(self.feature_params, example_images[:1])
         variables = self.head.init(
             jax.random.PRNGKey(self.seed), feats, train=False
         )
@@ -143,8 +149,8 @@ class SegLinearProbe:
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
         return state
 
-    def _loss(self, params, batch_stats, images, labels):
-        feats = jax.lax.stop_gradient(self.feature_fn(images))
+    def _loss(self, params, batch_stats, images, labels, fp):
+        feats = jax.lax.stop_gradient(self._features(fp, images))
         logits, updates = self.head.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
@@ -155,10 +161,10 @@ class SegLinearProbe:
         loss = cross_entropy_ignore(logits, labels)
         return loss, updates["batch_stats"]
 
-    def _train_step(self, state, images, labels):
+    def _train_step(self, state, images, labels, fp):
         (loss, new_stats), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state["params"], state["batch_stats"], images, labels)
+        )(state["params"], state["batch_stats"], images, labels, fp)
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]
         )
@@ -182,14 +188,15 @@ class SegLinearProbe:
                         jax.tree.map(lambda _: repl, state,
                                      is_leaf=lambda x: isinstance(x, jax.Array)),
                         data, data,
+                        jax.tree.map(lambda _: repl, self.feature_params,
+                                     is_leaf=lambda x: isinstance(x, jax.Array)),
                     ),
-                    donate_argnums=(0,),
                 )
             self._train_jit = jax.jit(self._train_step, **kwargs)
-        return self._train_jit(state, images, labels)
+        return self._train_jit(state, images, labels, self.feature_params)
 
-    def _logits(self, state, images):
-        feats = self.feature_fn(images)
+    def _logits(self, state, images, fp):
+        feats = self._features(fp, images)
         logits = self.head.apply(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             feats,
@@ -198,7 +205,7 @@ class SegLinearProbe:
         return bilinear_upsample(logits, images.shape[1:3])
 
     def predict_logits(self, state, images: Array) -> Array:
-        return self._logits_jit(state, images)
+        return self._logits_jit(state, images, self.feature_params)
 
 
 def slide_inference(

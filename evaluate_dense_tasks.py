@@ -78,11 +78,11 @@ def build_feature_fn(args):
 
         denoiser_params = load_denoiser_params(args.denoiser_ckpt)
         denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
-    fn = make_feature_fn(
+    fn, fparams = make_feature_fn(
         wrapper, denoiser, denoiser_params,
         pad_multiple=wrapper.patch_size,
     )
-    return fn, wrapper
+    return fn, fparams, wrapper
 
 
 def run_seg(args, cfg):
@@ -95,7 +95,7 @@ def run_seg(args, cfg):
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
-    feature_fn, wrapper = build_feature_fn(args)
+    feature_fn, fparams, wrapper = build_feature_fn(args)
 
     train_ds = SegDataset(
         args.data_root, cfg["img_dir"], cfg["ann_dir"],
@@ -112,7 +112,7 @@ def run_seg(args, cfg):
     logger.info(f"train {len(train_ds)} / val {len(val_ds)} images")
 
     probe = SegLinearProbe(
-        feature_fn, cfg["num_classes"],
+        feature_fn, cfg["num_classes"], feature_params=fparams,
         lr=cfg["lr"], weight_decay=cfg["wd"],
         total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
     )
@@ -177,7 +177,7 @@ def run_depth(args, cfg):
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
-    feature_fn, wrapper = build_feature_fn(args)
+    feature_fn, fparams, wrapper = build_feature_fn(args)
     train_ds = NYUDepthDataset(
         args.data_root, "nyu_train.txt", train=True, seed=args.seed
     )
@@ -185,7 +185,8 @@ def run_depth(args, cfg):
     logger.info(f"train {len(train_ds)} / val {len(val_ds)} images")
 
     probe = DepthLinearProbe(
-        feature_fn, lr=cfg["lr"], weight_decay=cfg["wd"],
+        feature_fn, feature_params=fparams,
+        lr=cfg["lr"], weight_decay=cfg["wd"],
         total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
     )
     loader = DataLoader(

@@ -88,7 +88,7 @@ def main():
 
         denoiser_params = load_denoiser_params(args.denoiser_ckpt)
         denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
-    feature_fn = make_feature_fn(wrapper, denoiser, denoiser_params)
+    feature_fn, fparams = make_feature_fn(wrapper, denoiser, denoiser_params)
 
     size = (args.input_size, args.input_size)
     mean = np.asarray(wrapper.cfg.mean, np.float32)
@@ -97,7 +97,7 @@ def main():
     def frame_feats(path):
         img = resize_image(load_image(path), size)
         x = (img.astype(np.float32) / 255.0 - mean) / std
-        f = feature_fn(jnp.asarray(x[None]))
+        f = feature_fn(fparams, jnp.asarray(x[None]))
         return img, np.asarray(f[0], np.float32)
 
     # dataset-level PCA stats from a frame sample (replaces stats.pth)
