@@ -181,6 +181,31 @@ def main():
     )
 
 
+def wait_for_device(max_wait_s: float = 600.0) -> bool:
+    """The tunneled dev TPU wedges for minutes after faults; poll until a
+    trivial op succeeds so the measured run starts on a healthy device."""
+    import subprocess
+    import sys as _sys
+
+    deadline = time.time() + max_wait_s
+    probe = (
+        "import jax, jax.numpy as jnp; print(float(jnp.ones(3).sum()))"
+    )
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", probe], capture_output=True,
+                timeout=90,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("device not ready, retrying...", file=sys.stderr)
+        time.sleep(30)
+    return False
+
+
 def main_with_fallback():
     """Degrade gracefully: tunneled dev TPUs occasionally fault under
     sustained load; retry with smaller configs so the driver always gets a
@@ -191,6 +216,7 @@ def main_with_fallback():
         {"BENCH_ITERS": "100", "BENCH_VIEWS": "32", "BENCH_IMAGES": "1"},
     ]
     last_err = None
+    wait_for_device()
     for overrides in ladder:
         os.environ.update(overrides)
         try:
