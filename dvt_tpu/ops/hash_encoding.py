@@ -45,6 +45,12 @@ class HashGridSpec:
     log2_hashmap_size: int = 20
     base_resolution: int = 16
     max_resolution: int = 1024
+    # Levels whose table fits under this many entries run as a one-hot
+    # interpolation-matrix matmul instead of gathers: the backward pass is
+    # then a transposed matmul on the MXU instead of a scatter-add, which is
+    # row-count-bound on TPU (measured: ~27 ms of a 54 ms fit step is
+    # gather/scatter rows). 0 disables the matmul path.
+    matmul_level_threshold: int = 4096
 
     @property
     def per_level_scale(self) -> float:
@@ -150,17 +156,34 @@ def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec) -> jax.
     """
     batch_shape = coords.shape[:-1]
     flat = coords.reshape(-1, 2).astype(jnp.float32)
+    n = flat.shape[0]
 
-    idx_all, w_all = [], []
-    for res, size, off in zip(spec.resolutions, spec.level_sizes, spec.level_offsets):
+    outs = []
+    gather_idx, gather_w, gather_slots = [], [], []
+    for l, (res, size, off) in enumerate(
+        zip(spec.resolutions, spec.level_sizes, spec.level_offsets)
+    ):
         idx, w = _level_indices_weights(flat, res, size)
-        idx_all.append(idx + off)
-        w_all.append(w)
-    # (N, L, 4)
-    idx = jnp.stack(idx_all, axis=1)
-    w = jnp.stack(w_all, axis=1)
+        if 0 < size <= spec.matmul_level_threshold:
+            # one-hot interpolation matrix (N, size): S[n, j] = sum_c w_c [idx_c == j]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+            sel = (idx[:, :, None] == iota).astype(table.dtype)
+            smat = jnp.einsum("nc,ncj->nj", w.astype(table.dtype), sel)
+            level_tab = jax.lax.dynamic_slice_in_dim(table, off, size, axis=0)
+            outs.append((l, smat @ level_tab))  # (N, F); VJP = S^T g matmul
+        else:
+            gather_idx.append(idx + off)
+            gather_w.append(w)
+            gather_slots.append(l)
 
-    feats = jnp.take(table, idx, axis=0)  # (N, L, 4, F)
-    out = jnp.sum(feats * w[..., None].astype(table.dtype), axis=2)  # (N, L, F)
-    out = out.reshape(*batch_shape, spec.n_output_dims)
-    return out
+    if gather_idx:
+        idx = jnp.stack(gather_idx, axis=1)  # (N, Lg, 4)
+        w = jnp.stack(gather_w, axis=1)
+        feats = jnp.take(table, idx, axis=0)  # (N, Lg, 4, F)
+        g_out = jnp.sum(feats * w[..., None].astype(table.dtype), axis=2)
+        for k, l in enumerate(gather_slots):
+            outs.append((l, g_out[:, k]))
+
+    outs.sort(key=lambda t: t[0])
+    out = jnp.stack([o for _, o in outs], axis=1)  # (N, L, F)
+    return out.reshape(*batch_shape, spec.n_output_dims)

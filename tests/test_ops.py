@@ -176,3 +176,28 @@ class TestHashEncoding:
         f0 = hash_encode(table, c0, spec)
         f1 = hash_encode(table, c1, spec)
         assert float(jnp.abs(f1 - f0).max()) < 1e-2
+
+    def test_matmul_path_matches_gather_path(self, rng):
+        base = dict(n_levels=6, base_resolution=4, max_resolution=64,
+                    log2_hashmap_size=8, n_features=4)
+        spec_mm = HashGridSpec(**base, matmul_level_threshold=4096)
+        spec_g = HashGridSpec(**base, matmul_level_threshold=0)
+        table = jnp.asarray(
+            rng.standard_normal((spec_mm.total_entries, 4)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 1, size=(100, 2)), jnp.float32)
+
+        out_mm = hash_encode(table, coords, spec_mm)
+        out_g = hash_encode(table, coords, spec_g)
+        np.testing.assert_allclose(
+            np.asarray(out_mm), np.asarray(out_g), atol=1e-5, rtol=1e-5
+        )
+
+        def loss(t, spec):
+            return jnp.sum(hash_encode(t, coords, spec) ** 2)
+
+        g_mm = jax.grad(lambda t: loss(t, spec_mm))(table)
+        g_g = jax.grad(lambda t: loss(t, spec_g))(table)
+        np.testing.assert_allclose(
+            np.asarray(g_mm), np.asarray(g_g), atol=1e-4, rtol=1e-4
+        )
