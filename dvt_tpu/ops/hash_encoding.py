@@ -14,8 +14,10 @@ Design notes (TPU-first):
     table axis, letting many independent per-image fields train on one chip.
   * Level geometry is static Python, so under ``jit`` every level's index
     arithmetic constant-folds; only the gathers remain.
-  * A Pallas kernel with the same signature can be swapped in for the
-    gather/scatter once profiling justifies it (see ops/hash_encoding_pallas).
+  * Coarse levels additionally route through a one-hot interpolation-matrix
+    matmul (MXU) so their backward is a transposed matmul rather than a
+    row-count-bound scatter; the fused Pallas mega-kernel that replaces the
+    remaining gather/scatter + optimizer sweeps is specced in PLAN.md.
 
 Deviation from tcnn: we use the paper's ``pos = x * N_l`` vertex mapping with
 corner clamping instead of tcnn's ``x * scale + 0.5`` offset; stage 1 trains
