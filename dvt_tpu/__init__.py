@@ -21,3 +21,28 @@ Sub-packages
 __version__ = "0.1.0"
 
 from dvt_tpu.models.zoo import MODEL_LIST  # noqa: F401
+
+_LAZY = {
+    "ViTWrapper": "dvt_tpu.models.vit",
+    "VisionTransformer": "dvt_tpu.models.vit",
+    "SingleImageDenoiser": "dvt_tpu.models.offline_denoiser",
+    "NeuralFeatureField": "dvt_tpu.models.neural_field",
+    "Denoiser": "dvt_tpu.models.online_denoiser",
+    "DenoisingPipeline": "dvt_tpu.models.online_denoiser",
+    "Stage1Engine": "dvt_tpu.engine",
+    "Stage1Config": "dvt_tpu.stage1",
+    "Stage2Trainer": "dvt_tpu.stage2",
+    "Stage2Config": "dvt_tpu.stage2",
+    "Stage3Trainer": "dvt_tpu.stage3",
+    "Stage3Config": "dvt_tpu.stage3",
+    "make_mesh": "dvt_tpu.parallel.mesh",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import dvt_tpu` light)."""
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'dvt_tpu' has no attribute {name!r}")
