@@ -65,6 +65,9 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
         if cfg.init_values is not None:
             sd[f"{b}.ls1.gamma"] = cfg.init_values * torch.ones(d)
             sd[f"{b}.ls2.gamma"] = cfg.init_values * torch.ones(d)
+    if cfg.pre_norm:
+        sd["norm_pre.weight"] = 1 + 0.1 * r(cfg.embed_dim)
+        sd["norm_pre.bias"] = r(cfg.embed_dim)
     sd["norm.weight"] = 1 + 0.1 * r(cfg.embed_dim)
     sd["norm.bias"] = r(cfg.embed_dim)
     return sd
@@ -109,6 +112,14 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
     def ln(t, w, bname):
         return F.layer_norm(t, (c,), sd[w], sd[bname], eps=cfg.norm_eps)
 
+    if cfg.pre_norm:
+        x = ln(x, "norm_pre.weight", "norm_pre.bias")
+
+    def act(t):
+        if cfg.act == "quick_gelu":
+            return t * torch.sigmoid(1.702 * t)
+        return F.gelu(t)
+
     taps = {}
     for i in range(cfg.depth):
         bk = f"blocks.{i}"
@@ -128,7 +139,7 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         x = x + att
         y = ln(x, f"{bk}.norm2.weight", f"{bk}.norm2.bias")
         y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
-        y = F.gelu(y)
+        y = act(y)
         y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
         if cfg.init_values is not None:
             y = y * sd[f"{bk}.ls2.gamma"]
@@ -152,6 +163,7 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         (dict(init_values=1e-1), 4),  # LayerScale (DINOv2/DeiT3 style)
         (dict(reg_tokens=4, no_embed_class=True), 4),  # register tokens
         (dict(class_token=False, no_embed_class=True), 8),  # pure spatial
+        (dict(pre_norm=True, act="quick_gelu", norm_eps=1e-5), 4),  # CLIP-style
     ],
 )
 def test_forward_matches_torch_oracle(cfg_kw, stride):
