@@ -259,19 +259,33 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
 
 
 def _export_single(params, raw_features, cfg: Stage1Config):
-    """Field on the full [0,1] grid (the stage-2 target) + recon quality."""
-    _, field = cfg.modules()
+    """Field on the full [0,1] grid (the stage-2 target) + recon quality.
+
+    The reconstruction metric includes all three terms (F + G + h vs raw),
+    matching the model the loss optimizes; F + G alone understates fit
+    quality because h carries the image-dependent high-norm patterns.
+    """
+    denoiser, field = cfg.modules()
     h, w = cfg.grid_hw
     full_coords = make_patch_coordinates(h, w, 0.0, 1.0)
     denoised = field.apply({"params": params["field"]}, full_coords)
     denoised = denoised.astype(jnp.float32)
     raw_full = raw_features[-1].astype(jnp.float32)
-    final_cos = jnp.mean(
-        cosine_similarity(
-            denoised.reshape(-1, cfg.feat_dim)
-            + params["denoiser"]["shared_artifacts"].reshape(-1, cfg.feat_dim),
-            raw_full.reshape(-1, cfg.feat_dim),
+    pred = (
+        denoised.reshape(-1, cfg.feat_dim)
+        + params["denoiser"]["shared_artifacts"]
+        .reshape(-1, cfg.feat_dim)
+        .astype(jnp.float32)
+    )
+    if cfg.enable_residual_predictor:
+        res = denoiser.apply(
+            {"params": params["denoiser"]},
+            raw_full.reshape(-1, cfg.feat_dim).astype(cfg.compute_dtype),
+            method=lambda m, x: m._residual(x),
         )
+        pred = pred + res.astype(jnp.float32)
+    final_cos = jnp.mean(
+        cosine_similarity(pred, raw_full.reshape(-1, cfg.feat_dim))
     )
     return denoised, final_cos
 
