@@ -42,6 +42,7 @@ class Stage2Config:
     weight_decay: float = 1e-5
     warmup_frac: float = 0.15
     global_batch_size: int = 256
+    grad_clip: Any = None
     compute_dtype: Any = jnp.float32
 
     @property
@@ -80,7 +81,8 @@ class Stage2Trainer:
         self.schedule = cosine_schedule(
             cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
         )
-        self.tx = make_adamw(self.schedule, cfg.weight_decay)
+        self.tx = make_adamw(self.schedule, cfg.weight_decay,
+                             grad_clip=cfg.grad_clip)
 
         dummy = jnp.zeros(
             (1, cfg.noise_map_height, cfg.noise_map_width, cfg.feat_dim),
@@ -119,6 +121,7 @@ class Stage2Trainer:
         )
         params = optax.apply_updates(state["params"], updates)
         metrics["lr"] = self.schedule(state["step"])
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = {
             "params": params,
             "opt_state": opt_state,

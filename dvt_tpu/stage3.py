@@ -48,6 +48,7 @@ class Stage3Config:
     global_batch_size: int = 256
     grad_checkpointing: bool = False
     tensor_parallel: bool = False
+    grad_clip: Any = None
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -107,7 +108,8 @@ class Stage3Trainer:
         self.schedule = cosine_schedule(
             cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
         )
-        self.tx = make_adamw(self.schedule, cfg.weight_decay)
+        self.tx = make_adamw(self.schedule, cfg.weight_decay,
+                             grad_clip=cfg.grad_clip)
 
         tp = cfg.tensor_parallel
         student_params = shard_params(mesh, student_params, tp)
@@ -156,6 +158,7 @@ class Stage3Trainer:
         )
         params = optax.apply_updates(state["params"], updates)
         metrics["lr"] = self.schedule(state["step"])
+        metrics["grad_norm"] = optax.global_norm(grads)
         return (
             {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
             metrics,

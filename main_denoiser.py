@@ -36,6 +36,7 @@ def get_args():
                    help="per-device batch size")
     p.add_argument("--num_iterations", type=int, default=40_000)
     p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--blr", type=float, default=2.0e-4)
     p.add_argument("--min_lr", type=float, default=1.0e-6)
     p.add_argument("--output_root", type=str, default="./work_dirs/")
@@ -99,6 +100,7 @@ def main():
         min_lr=args.min_lr,
         weight_decay=args.weight_decay,
         global_batch_size=global_bs,
+        grad_clip=args.clip_grad,
     )
     logger.info(f"mesh={mesh.shape} global_bs={global_bs} lr={cfg.lr:.2e}")
     trainer = Stage2Trainer(cfg, mesh, seed=args.seed)

@@ -39,6 +39,7 @@ def get_args():
     p.add_argument("--num_iterations", type=int, default=None)
     p.add_argument("--num_epochs", type=int, default=10)
     p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--blr", type=float, default=2.0e-4)
     p.add_argument("--min_lr", type=float, default=1.0e-6)
     p.add_argument("--output_root", type=str, default="./work_dirs/")
@@ -125,6 +126,7 @@ def main():
         global_batch_size=global_bs,
         grad_checkpointing=args.grad_checkpointing,
         tensor_parallel=args.tensor_parallel,
+        grad_clip=args.clip_grad,
     )
     logger.info(
         f"mesh={mesh.shape} global_bs={global_bs} iters={num_iterations} "

@@ -72,3 +72,16 @@ class TestShardingRules:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestDonationGate:
+    def test_env_override(self, monkeypatch):
+        from dvt_tpu.parallel.mesh import safe_donate_argnums
+
+        monkeypatch.setenv("DVT_DONATE", "1")
+        assert safe_donate_argnums(0, 2) == (0, 2)
+        monkeypatch.setenv("DVT_DONATE", "0")
+        assert safe_donate_argnums(0) == ()
+        monkeypatch.setenv("DVT_DONATE", "auto")
+        # CPU backend (tests) is not axon -> donation stays on
+        assert safe_donate_argnums(0) == (0,)
