@@ -153,6 +153,7 @@ def main():
             loss=loss,
             l2_loss=float(metrics["l2_loss"]),
             cosine_similarity_loss=float(metrics["cosine_similarity_loss"]),
+            grad_norm=float(metrics["grad_norm"]),
             lr=float(metrics["lr"]),
         )
         if jax.process_index() == 0:
