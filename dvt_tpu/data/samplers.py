@@ -9,7 +9,7 @@ which is exactly what each host of a data-parallel TPU job consumes.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -9,7 +9,7 @@ the backbone's statistics. The per-view random-resized-crop runs on device
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 

@@ -21,9 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 
 def best_entry(log_path: str, key: str, maximize: bool = True) -> Optional[dict]:

@@ -10,11 +10,10 @@ depth. NHWC, flax.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from dvt_tpu.eval.seg import bilinear_upsample
 

@@ -12,7 +12,7 @@ input image to a multiple of the patch size before the backbone.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

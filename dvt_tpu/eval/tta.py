@@ -12,9 +12,8 @@ Rebuilds the mmseg/mmdepth inference conventions the reference forks:
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -15,7 +15,7 @@ which keeps teacher freezing and checkpoint stripping trivial).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

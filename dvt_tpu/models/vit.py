@@ -23,8 +23,7 @@ inner LayerNorm, axial 2-D rotary embeddings).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax

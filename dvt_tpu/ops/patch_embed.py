@@ -12,7 +12,6 @@ TPUs are built for.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ optionally tensor-parallel over 'model' for large backbones, with
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from dvt_tpu.models.online_denoiser import Denoiser
 from dvt_tpu.models.vit import VisionTransformer
 from dvt_tpu.models.zoo import ViTConfig, get_model_config
 from dvt_tpu.parallel.mesh import safe_donate_argnums
-from dvt_tpu.parallel.sharding import param_shardings, shard_params
+from dvt_tpu.parallel.sharding import shard_params
 from dvt_tpu.stage2 import denoise_loss
 from dvt_tpu.train.optim import make_adamw, sqrt_scaled_lr
 from dvt_tpu.train.schedules import cosine_schedule

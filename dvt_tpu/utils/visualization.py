@@ -11,7 +11,7 @@ pixel resolution; matplotlib supplies colormaps only.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
