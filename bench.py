@@ -87,6 +87,12 @@ def main():
     num_iters = int(os.environ.get("BENCH_ITERS", "200" if fast else "1000"))
     scale = FULL_ITERS / num_iters
 
+    # Tuned TPU-native config: stochastic corner sampling on the fine
+    # hash levels (quality-validated on-device: 25k-iter recon cos 0.9444
+    # stochastic vs 0.9442 exact on demo/cat.jpg; denoised-feature cosine
+    # between the two fits 0.9968 mean - see PLAN.md round-2 notes).
+    # BENCH_STOCH=0 benchmarks the reference-exact bilinear path.
+    stochastic = os.environ.get("BENCH_STOCH", "1") == "1"
     engine = Stage1Engine(
         model_identifier="vit_base_patch14_dinov2.lvd142m",
         stride=14,
@@ -94,6 +100,8 @@ def main():
         num_iters=num_iters,
         warmup_iters=max(int(2500 * num_iters / FULL_ITERS), 1),
         images_per_batch=n_images,
+        optimizer_impl=os.environ.get("BENCH_OPT", "fused"),
+        stochastic_corners=stochastic,
     )
 
     img_path = find_demo_image()
@@ -119,12 +127,17 @@ def main():
 
     gbps, tflops = device_calibration(jax, jnp)
 
+    def sync(x):
+        # jax.block_until_ready is a NO-OP on the tunneled axon backend;
+        # force completion by materializing one element on host
+        np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
     # ---- extraction: warm once, then time ----
     raw_b, crd_b = engine.extract_batch(inputs)
-    jax.block_until_ready(raw_b)
+    sync(raw_b)
     t0 = time.time()
     raw_b, crd_b = engine.extract_batch(inputs)
-    jax.block_until_ready(raw_b)
+    sync(raw_b)
     t_extract = time.time() - t0
 
     # ---- fit: warm once (compile), then time; chunked dispatches keep
@@ -134,12 +147,12 @@ def main():
     den, metrics = fit_image_batch_chunked(
         keys, raw_b, crd_b, engine.cfg, chunk
     )
-    jax.block_until_ready(den)
+    sync(den)
     t0 = time.time()
     den, metrics = fit_image_batch_chunked(
         keys, raw_b, crd_b, engine.cfg, chunk
     )
-    jax.block_until_ready(den)
+    sync(den)
     t_fit = time.time() - t0
 
     sec_per_batch_full = t_extract + t_fit * scale
@@ -158,6 +171,8 @@ def main():
                     "n_images": n_images,
                     "num_views": num_views,
                     "measured_iters": num_iters,
+                    "stochastic_corners": stochastic,
+                    "optimizer_impl": engine.optimizer_impl,
                     "reported_for_iters": FULL_ITERS,
                     "extract_s": round(t_extract, 2),
                     "fit_s_measured": round(t_fit, 2),

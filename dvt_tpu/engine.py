@@ -56,6 +56,9 @@ class Stage1Engine:
     fit_chunk_iters: int = 5000  # steps per dispatch (watchdog-friendly)
     feature_dtype: str = "bfloat16"  # pool storage dtype
     moments_dtype: str = "bfloat16"  # Adam moment storage in the fit
+    optimizer_impl: str = "fused"  # "fused" Pallas Adam | "optax" oracle
+    matmul_level_threshold: int = 4096  # one-hot-matmul levels cutoff
+    stochastic_corners: bool = False  # 1-corner sampling on gather levels
     vit_dtype: str = "bfloat16"
     vit_params: Optional[dict] = None
     checkpoint_path: Optional[str] = None
@@ -85,6 +88,9 @@ class Stage1Engine:
             warmup_iters=self.warmup_iters,
             pixel_bsz=self.pixel_bsz,
             moments_dtype=jnp.dtype(self.moments_dtype),
+            optimizer_impl=self.optimizer_impl,
+            matmul_level_threshold=self.matmul_level_threshold,
+            stochastic_corners=self.stochastic_corners,
         )
         self.pipeline = SingleImagePipeline(
             size=self.input_size,

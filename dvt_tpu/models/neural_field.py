@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from dvt_tpu.ops.hash_encoding import HashGridSpec, hash_encode
 
 
-def default_hash_spec(n_levels: int = 16) -> HashGridSpec:
+def default_hash_spec(n_levels: int = 16,
+                      matmul_level_threshold: int = 4096) -> HashGridSpec:
     """Stage-1 default grid: matches main_img_denoising.py:183 + the
     reference encoding config (neural_feature_field.py:25-39)."""
     return HashGridSpec(
@@ -29,6 +30,7 @@ def default_hash_spec(n_levels: int = 16) -> HashGridSpec:
         log2_hashmap_size=20,
         base_resolution=16,
         max_resolution=1024,
+        matmul_level_threshold=matmul_level_threshold,
     )
 
 
@@ -38,16 +40,21 @@ class NeuralFeatureField(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, coords: jax.Array) -> jax.Array:
-        """coords (..., 2) in [0, 1] -> (..., feat_dim) features."""
+    def __call__(self, coords: jax.Array,
+                 corner_key: jax.Array | None = None) -> jax.Array:
+        """coords (..., 2) in [0, 1] -> (..., feat_dim) features.
+
+        ``corner_key`` enables stochastic corner sampling in the encoding
+        (training-time variance/bandwidth trade, see ops/hash_encoding.py).
+        """
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(
                 key, shape, jnp.float32, minval=-1e-4, maxval=1e-4
             ),
-            (self.spec.total_entries, self.spec.n_features),
+            (self.spec.padded_entries, self.spec.n_features),
         )
-        enc = hash_encode(table, coords, self.spec).astype(self.dtype)
+        enc = hash_encode(table, coords, self.spec, corner_key).astype(self.dtype)
         x = nn.Dense(self.feat_dim // 2, dtype=self.dtype, name="mlp_0")(enc)
         x = nn.relu(x)
         x = nn.Dense(self.feat_dim, dtype=self.dtype, name="mlp_2")(x)

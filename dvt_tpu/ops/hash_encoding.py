@@ -96,6 +96,17 @@ class HashGridSpec:
         return sum(self.level_sizes)
 
     @property
+    def padded_entries(self) -> int:
+        """Allocation row count: ``total_entries`` rounded up so the
+        (rows, n_features) table reshapes copy-free to a 128-lane layout
+        (rows * n_features divisible by 2048). Rows past ``total_entries``
+        are never indexed; optimizer sweeps over them are no-ops (zero
+        init, zero grad). Narrow-lane tables at full size crash the Mosaic
+        pipeline on v5e, and 128-lane tiles are the natural sweep layout."""
+        quantum = max(2048 // self.n_features, 1)
+        return -(-self.total_entries // quantum) * quantum
+
+    @property
     def n_output_dims(self) -> int:
         return self.n_levels * self.n_features
 
@@ -105,7 +116,8 @@ def init_hash_table(
 ) -> jax.Array:
     """tcnn-style init: U(-1e-4, 1e-4) over the flat table."""
     return jax.random.uniform(
-        key, (spec.total_entries, spec.n_features), dtype, minval=-1e-4, maxval=1e-4
+        key, (spec.padded_entries, spec.n_features), dtype, minval=-1e-4,
+        maxval=1e-4,
     )
 
 
@@ -145,13 +157,22 @@ def _level_indices_weights(coords, res: int, size: int):
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec) -> jax.Array:
+def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec,
+                corner_key: jax.Array | None = None) -> jax.Array:
     """Encode coordinates through the multiresolution hash grid.
 
     Args:
       table: (spec.total_entries, spec.n_features) parameter table.
       coords: (..., 2) coordinates in [0, 1].
       spec: static grid geometry.
+      corner_key: optional PRNG key enabling *stochastic corner sampling*
+        for the gather-path (fine) levels: instead of blending all 4 cell
+        corners, ONE corner is drawn per (point, level) with probability
+        equal to its bilinear weight. The estimate is unbiased
+        (E[T[c]] = sum_c w_c T[c]) and cuts the row-count-bound
+        gather/scatter traffic 4x -- the dominant stage-1 cost on TPU,
+        where XLA scatters are ~row-bound (PLAN.md). Training-only; pass
+        None (exact blending) for evaluation/export.
 
     Returns:
       (..., n_levels * n_features) encoded features, in table dtype.
@@ -181,8 +202,20 @@ def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec) -> jax.
     if gather_idx:
         idx = jnp.stack(gather_idx, axis=1)  # (N, Lg, 4)
         w = jnp.stack(gather_w, axis=1)
-        feats = jnp.take(table, idx, axis=0)  # (N, Lg, 4, F)
-        g_out = jnp.sum(feats * w[..., None].astype(table.dtype), axis=2)
+        if corner_key is not None:
+            # draw corner c with prob w_c: first corner whose CDF exceeds u
+            u = jax.random.uniform(corner_key, idx.shape[:2])
+            cdf = jnp.cumsum(w, axis=-1)
+            sel = jnp.sum(
+                (u[..., None] > jax.lax.stop_gradient(cdf)).astype(jnp.int32),
+                axis=-1,
+            )
+            sel = jnp.minimum(sel, 3)
+            one_idx = jnp.take_along_axis(idx, sel[..., None], axis=-1)
+            g_out = jnp.take(table, one_idx[..., 0], axis=0)  # (N, Lg, F)
+        else:
+            feats = jnp.take(table, idx, axis=0)  # (N, Lg, 4, F)
+            g_out = jnp.sum(feats * w[..., None].astype(table.dtype), axis=2)
         for k, l in enumerate(gather_slots):
             outs.append((l, g_out[:, k]))
 

@@ -54,11 +54,29 @@ class Stage1Config:
     freeze_shared_artifacts_after: float = 0.5
     enable_residual_predictor: bool = True
     compute_dtype: Any = jnp.float32
-    # Adam moment storage. The fit is HBM-bound on the hash table's dense
-    # optimizer sweep (6 table-sized transfers/step); bf16 moments halve that
-    # traffic with negligible effect on the fitted field (the table itself
-    # stays fp32).
-    moments_dtype: Any = jnp.float32
+    # Adam moment storage. With the fused Pallas optimizer the moments are
+    # read/written exactly once per step, so bf16 halves that HBM traffic for
+    # free (fp32 master params; update math runs fp32 in-kernel).
+    moments_dtype: Any = jnp.bfloat16
+    # "fused": the Adam update as ONE flat XLA expression per leaf
+    #   (ops/fused_adam.py fused_adam_update_xla) - XLA fuses it into a
+    #   single HBM pass, measured marginally FASTER than the hand-written
+    #   Pallas kernel (1.9 vs 2.1 ms/step on the big table; the kernel
+    #   gains nothing because XLA's elementwise fusion is already optimal
+    #   here). Also carries torch-exact freeze semantics.
+    # "pallas": the explicit Pallas kernel (ops/fused_adam.py) - kept as a
+    #   measured artifact and for layouts XLA mishandles.
+    # "optax": the reference-shaped optax chain (oracle for equivalence
+    #   tests).
+    optimizer_impl: str = "fused"
+    # Levels with <= this many table entries run as one-hot interpolation
+    # matmuls (MXU fwd + transposed-matmul bwd) instead of gather/scatter,
+    # which is row-count-bound on TPU. Tuned on-device (PLAN.md).
+    matmul_level_threshold: int = 4096
+    # Sample ONE corner per (pixel, level) with bilinear-weight probability
+    # on the gather-path levels (unbiased; 4x fewer scatter rows). Export
+    # and eval always use exact blending.
+    stochastic_corners: bool = False
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -78,7 +96,7 @@ class Stage1Config:
         )
         field = NeuralFeatureField(
             feat_dim=self.feat_dim,
-            spec=default_hash_spec(self.n_levels),
+            spec=default_hash_spec(self.n_levels, self.matmul_level_threshold),
             dtype=self.compute_dtype,
         )
         return denoiser, field
@@ -154,6 +172,60 @@ def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
     )
 
 
+def fused_adam_apply(cfg: Stage1Config, params, grads, opt_state, step,
+                     frozen_mask=None):
+    """Single-HBM-pass Adam step over the param tree (ops/fused_adam.py).
+
+    Matches the optax chain in ``make_optimizer`` (additive L2, betas
+    (0.9, 0.99), eps 1e-15, warmup+cosine lr) but each leaf is updated by
+    one fused kernel: read (param, m, v, grad), write (param, m, v).
+
+    ``frozen_mask``: optional pytree of bools (or a traced bool per leaf);
+    where True, the leaf's param AND moments are left untouched - the
+    torch semantics of ``requires_grad_(False)`` mid-fit (the reference
+    freezes the shared artifact map at 50% of iters,
+    main_img_denoising.py:70-72 + offline_denoiser.py:49-60).
+    """
+    from dvt_tpu.ops.fused_adam import fused_adam_update, fused_adam_update_xla
+
+    update = (fused_adam_update
+              if (cfg.optimizer_impl == "pallas"
+                  and jax.default_backend() == "tpu")
+              else fused_adam_update_xla)
+    lr = lr_at(cfg, step)
+    count = (opt_state["count"] + 1).astype(jnp.float32)
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_m = treedef.flatten_up_to(opt_state["mu"])
+    flat_v = treedef.flatten_up_to(opt_state["nu"])
+    flat_g = treedef.flatten_up_to(grads)
+    if frozen_mask is None:
+        flat_f = [None] * len(flat_p)
+    else:
+        flat_f = treedef.flatten_up_to(frozen_mask)
+
+    new_p, new_m, new_v = [], [], []
+    for p, m, v, g, fz in zip(flat_p, flat_m, flat_v, flat_g, flat_f):
+        p2, m2, v2 = update(p, m, v, g, lr, count,
+                            b1=0.9, b2=0.99, eps=1e-15,
+                            wd=cfg.weight_decay)
+        if fz is not None:
+            keep = jnp.asarray(fz)
+            p2 = jnp.where(keep, p, p2)
+            m2 = jnp.where(keep, m, m2)
+            v2 = jnp.where(keep, v, v2)
+        new_p.append(p2)
+        new_m.append(m2)
+        new_v.append(v2)
+
+    new_state = {
+        "mu": jax.tree.unflatten(treedef, new_m),
+        "nu": jax.tree.unflatten(treedef, new_v),
+        "count": opt_state["count"] + 1,
+    }
+    return jax.tree.unflatten(treedef, new_p), new_state
+
+
 def init_fit(key: Array, cfg: Stage1Config):
     """Initialize (params, opt_state) for one image's fit."""
     denoiser, field = cfg.modules()
@@ -165,15 +237,24 @@ def init_fit(key: Array, cfg: Stage1Config):
     )["params"]
     f_params = field.init(kf, dummy_coords)["params"]
     params = {"denoiser": d_params, "field": f_params}
-    opt_state = make_optimizer(cfg).init(params)
+    if cfg.optimizer_impl in ("fused", "pallas"):
+        zeros = lambda p: jnp.zeros_like(p, dtype=cfg.moments_dtype)
+        opt_state = {
+            "mu": jax.tree.map(zeros, params),
+            "nu": jax.tree.map(zeros, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+    else:
+        opt_state = make_optimizer(cfg).init(params)
     return params, opt_state
 
 
 def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
-             artifact_flat_idx, phase2):
+             artifact_flat_idx, phase2, corner_key=None):
     """One minibatch loss. ``raw``: (B, C); ``global_coords``: (B, 2) in [0,1];
     ``artifact_flat_idx``: (B,) position of each pixel within its view grid."""
-    denoised = field.apply({"params": params["field"]}, global_coords)
+    denoised = field.apply({"params": params["field"]}, global_coords,
+                           corner_key)
 
     # G at exact grid points == direct gather (see module docstring)
     g = params["denoiser"]["shared_artifacts"].reshape(-1, cfg.feat_dim)
@@ -238,17 +319,27 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
         raw = raw_flat[idx].astype(cfg.compute_dtype)
         coords = coords_flat[idx]
         art_idx = idx % hw
+        corner_key = (jax.random.fold_in(skey, 1)
+                      if cfg.stochastic_corners else None)
 
         (loss, metrics), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, cfg, denoiser, field, raw, coords, art_idx, phase2)
+        )(params, cfg, denoiser, field, raw, coords, art_idx, phase2,
+          corner_key)
 
         # phase 2 freezes the shared artifact map (reference :70, :49-60)
         g_grad = grads["denoiser"]["shared_artifacts"]
         grads["denoiser"]["shared_artifacts"] = jnp.where(phase2, 0.0, g_grad)
 
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if cfg.optimizer_impl in ("fused", "pallas"):
+            # torch-exact freeze: param AND moments untouched in phase 2
+            frozen = jax.tree.map(lambda _: False, params)
+            frozen["denoiser"]["shared_artifacts"] = phase2
+            params, opt_state = fused_adam_apply(
+                cfg, params, grads, opt_state, step, frozen_mask=frozen)
+        else:
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return (params, opt_state), metrics
 
     steps = start + jnp.arange(length)

@@ -55,6 +55,17 @@ def get_args():
     p.add_argument("--output_dir", type=str, default="./work_dirs/demo")
     p.add_argument("--vis_freq", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--optimizer_impl", type=str, default="fused",
+                   choices=("fused", "pallas", "optax"),
+                   help="fused: single-XLA-expression Adam (one HBM pass); "
+                        "pallas: explicit kernel; optax: oracle chain")
+    p.add_argument("--matmul_level_threshold", type=int, default=4096,
+                   help="hash levels <= this many entries use one-hot "
+                        "matmuls (MXU) instead of gather/scatter")
+    p.add_argument("--stochastic_corners", action="store_true",
+                   help="sample 1 corner/level (bilinear-weight prob) on "
+                        "gather levels during the fit: 4x fewer scatter "
+                        "rows, unbiased")
     args = p.parse_args()
     if isinstance(args.input_size, int):
         args.input_size = (args.input_size, args.input_size)
@@ -113,6 +124,9 @@ def main():
         feature_dtype=args.feature_dtype,
         checkpoint_path=args.checkpoint_path,
         seed=args.seed,
+        optimizer_impl=args.optimizer_impl,
+        matmul_level_threshold=args.matmul_level_threshold,
+        stochastic_corners=args.stochastic_corners,
     )
 
     filenames = collect_filenames(args)

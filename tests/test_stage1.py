@@ -32,12 +32,7 @@ def small_cfg(**kw):
         pixel_bsz=512,
     )
     base.update(kw)
-    cfg = Stage1Config(**base)
-    # shrink the hash grid for test speed
-    object.__setattr__(
-        cfg, "modules", lambda _cfg=cfg: _small_modules(_cfg)
-    ) if False else None
-    return cfg
+    return Stage1Config(**base)
 
 
 def synth_problem(cfg, key):
