@@ -231,15 +231,34 @@ class NYUDepthDataset:
         # NYUCrop: fixed valid-depth region (pipelines/transforms.py NYUCrop)
         img = img[45:472, 43:608]
         depth = depth[45:472, 43:608]
+        # RandomRotate(prob 0.5, +-2.5 deg, pad 0) - NYU train recipe
+        # (vitb_nyu_linear_config.py:11, transforms.py RandomRotate)
+        if self.rng.random() < 0.5:
+            from PIL import Image as _PILImage
+
+            angle = float(self.rng.uniform(-2.5, 2.5))
+            img = np.asarray(
+                _PILImage.fromarray(img.astype(np.uint8)).rotate(
+                    angle, resample=_PILImage.BILINEAR, fillcolor=0
+                ),
+                np.float32,
+            )
+            depth = np.asarray(
+                _PILImage.fromarray(depth).rotate(
+                    angle, resample=_PILImage.BILINEAR, fillcolor=0
+                ),
+                np.float32,
+            )
+        # RandomFlip -> RandomCrop (reference pipeline order, config :11-13)
+        if self.rng.random() < 0.5:
+            img = img[:, ::-1]
+            depth = depth[:, ::-1]
         ch, cw = self.crop_size
         h, w = img.shape[:2]
         y0 = self.rng.integers(max(h - ch, 0) + 1)
         x0 = self.rng.integers(max(w - cw, 0) + 1)
         img = img[y0 : y0 + ch, x0 : x0 + cw]
         depth = depth[y0 : y0 + ch, x0 : x0 + cw]
-        if self.rng.random() < 0.5:
-            img = img[:, ::-1]
-            depth = depth[:, ::-1]
         # ColorAug (gamma/brightness/color, transforms.py ColorAug ranges)
         gamma = self.rng.uniform(0.9, 1.1)
         bright = self.rng.uniform(0.75, 1.25)

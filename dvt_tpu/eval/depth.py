@@ -2,13 +2,19 @@
 eigen-crop metrics.
 
 TPU rebuild of the reference's depth eval fork (evaluation/depth/):
-  * DepthBNHead: BatchNorm + 1x1 conv to 256 bins, "UD" uniform bins in
-    [min_depth, max_depth], "linear" normalization (relu + 0.1 eps, sum-norm)
-    and expectation over bin centers (models/decode_heads/decode_head.py:
-    159-192). The class token is broadcast-concatenated with the patch map
-    like eval_utils/misc.py:159-188 prepares inputs.
+  * DepthBNHead: the reference's "BNHead" has its BatchNorm COMMENTED OUT
+    (models/decode_heads/linear_head.py:29,89) - the head is: broadcast-
+    concat the class token onto the patch map (linear_head.py:76-86,
+    channels 768+768=1536 per vitb_nyu_linear_config.py:179), bilinear
+    x4 upsample (``upsample=4``, linear_head.py:48-55, align_corners
+    False), then a 1x1 conv to 256 bins, "UD" uniform bins in
+    [min_depth, max_depth], "linear" normalization (relu + 0.1 eps,
+    sum-norm) and expectation over bin centers (decode_head.py:159-192).
   * sig_loss: scale-invariant log loss sqrt(var(g) + 0.15 mean(g)^2) on
-    valid (0 < gt <= max_depth) pixels (losses/sigloss.py:48-65).
+    valid (gt > 0) pixels (losses/sigloss.py:48-65); the config does not
+    set max_depth on the loss (vitb_nyu_linear_config.py:157-163). With
+    ``warm_up`` the first 100 calls use sqrt(0.15 mean(g)^2) only
+    (sigloss.py:56-61).
   * gradient_loss: multi-scale log-gradient L1 (losses/gradientloss.py:33-63).
   * depth_metrics: a1/a2/a3, abs_rel, rmse, rmse_log, log10, silog, sq_rel
     (core/evaluation/metrics.py:8-47), with the NYU eigen crop
@@ -35,18 +41,33 @@ class DepthBNHead(nn.Module):
     n_bins: int = 256
     min_depth: float = 0.001
     max_depth: float = 10.0
+    upsample: int = 4
+    # the reference head's BN is commented out (linear_head.py:29,89);
+    # opt-in knob kept for ablations
+    use_bn: bool = False
     sync_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, feats: Array, train: bool = False) -> Array:
-        """(B, h, w, C) -> (B, h, w) depth in [min_depth, max_depth]."""
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.sync_axis if train else None,
-            name="bn",
-        )(feats)
+    def __call__(self, feats: Array, cls_token: Optional[Array] = None,
+                 train: bool = False) -> Array:
+        """(B, h, w, C) [+ cls (B, C)] -> (B, H*up, W*up) depth map."""
+        x = feats
+        if cls_token is not None:
+            cls = jnp.broadcast_to(
+                cls_token[:, None, None, :], feats.shape[:3] + cls_token.shape[-1:]
+            )
+            x = jnp.concatenate([x, cls], axis=-1)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.sync_axis if train else None,
+                name="bn",
+            )(x)
+        if self.upsample and self.upsample != 1:
+            h, w = x.shape[1:3]
+            x = bilinear_upsample(x, (h * self.upsample, w * self.upsample))
         logit = nn.Dense(self.n_bins, name="conv_depth")(x)
         # "linear" norm strategy (decode_head.py:174-178)
         logit = nn.relu(logit) + 0.1
@@ -56,8 +77,13 @@ class DepthBNHead(nn.Module):
 
 
 def sig_loss(pred: Array, gt: Array, max_depth: Optional[float] = None,
-             eps: float = 0.001, lam: float = 0.15) -> Array:
-    """Scale-invariant log loss over valid pixels (sigloss.py:48-65)."""
+             eps: float = 0.001, lam: float = 0.15,
+             warm: Array | bool = False) -> Array:
+    """Scale-invariant log loss over valid pixels (sigloss.py:48-65).
+
+    ``warm``: the reference's warm-up hack (sigloss.py:56-61, enabled for
+    NYU at vitb_nyu_linear_config.py:161): while True, the variance term is
+    dropped -- loss = sqrt(0.15 * mean(g)^2)."""
     valid = gt > 0
     if max_depth is not None:
         valid = valid & (gt <= max_depth)
@@ -65,6 +91,7 @@ def sig_loss(pred: Array, gt: Array, max_depth: Optional[float] = None,
     n = jnp.maximum(jnp.sum(valid), 1)
     mean_g = jnp.sum(jnp.where(valid, g, 0.0)) / n
     var_g = jnp.sum(jnp.where(valid, (g - mean_g) ** 2, 0.0)) / n
+    var_g = jnp.where(jnp.asarray(warm), 0.0, var_g)
     return jnp.sqrt(var_g + lam * mean_g**2)
 
 
@@ -126,76 +153,131 @@ def depth_metrics(gt: np.ndarray, pred: np.ndarray, min_depth: float = 1e-3,
     }
 
 
+def cosine_annealing_schedule(base_lr: float, total_iters: int,
+                              warmup_iters: int = 12_800,
+                              warmup_ratio: float = 1e-3,
+                              min_lr_ratio: float = 1e-8):
+    """mmcv CosineAnnealing lr_config with linear warmup (the NYU recipe,
+    vitb_nyu_linear_config.py:199-206)."""
+    min_lr = base_lr * min_lr_ratio
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        # mmcv linear warmup: lr = base * (1 - (1 - t/w) * (1 - ratio))
+        warm = base_lr * (
+            1.0 - (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        )
+        t = jnp.clip(step / total_iters, 0.0, 1.0)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_iters, warm, cos)
+
+    return fn
+
+
 @dataclasses.dataclass
 class DepthLinearProbe:
-    """Frozen-backbone depth probe: feature_fn -> DepthBNHead, SigLoss x10 +
-    GradientLoss x0.5 (vitb_nyu_linear_config.py recipe: AdamW lr 5e-3
-    wd 0.1... the config uses lr=0.005/wd=0.005 variants; defaults here match
-    the shipped config's optimizer block)."""
+    """Frozen-backbone depth probe matching the NYU linear recipe
+    (vitb_nyu_linear_config.py): DepthBNHead on (patch map + cls token),
+    SigLoss x1 (with 100-iter warm-up) + GradientLoss x0.5, AdamW lr 5e-3
+    wd 0.01, grad clip 35, linear-warmup(12.8k, ratio 1e-3) + cosine
+    annealing over 38.4k iters.
+
+    ``feature_fn`` may return feats or (feats, cls_token); set
+    ``use_cls_token`` accordingly (the reference always feeds cls for
+    depth, misc.py:159-188)."""
 
     feature_fn: Callable  # (images) -> feats, or (feature_params, images)
     feature_params: Any = None
+    mesh: Any = None  # optional jax Mesh with a "data" axis: DP train + eval
     min_depth: float = 0.001
     max_depth: float = 10.0
     lr: float = 5e-3
-    weight_decay: float = 0.005
+    weight_decay: float = 0.01
     total_iters: int = 38_400
-    warmup_iters: int = 1500
-    sig_weight: float = 10.0
+    warmup_iters: int = 12_800
+    sig_weight: float = 1.0
+    sig_warmup_iters: int = 100
     grad_weight: float = 0.5
+    grad_clip: float = 35.0
+    use_cls_token: bool = False
+    upsample: int = 4
     seed: int = 0
 
     def __post_init__(self):
         self.head = DepthBNHead(
-            min_depth=self.min_depth, max_depth=self.max_depth
+            min_depth=self.min_depth, max_depth=self.max_depth,
+            upsample=self.upsample,
         )
-        self.schedule = poly_schedule(
-            self.lr, self.total_iters, 0.9, self.warmup_iters
+        self.schedule = cosine_annealing_schedule(
+            self.lr, self.total_iters, self.warmup_iters
         )
-        self.tx = optax.adamw(
-            self.schedule, weight_decay=self.weight_decay
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.grad_clip),
+            optax.adamw(self.schedule, weight_decay=self.weight_decay),
         )
-        self._train_jit = jax.jit(self._train_step)
-        self._pred_jit = jax.jit(self._predict)
+        self._train_jit = None
+        self._pred_jit = None
+
+    def _shardings(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        as_tree = lambda tree: jax.tree.map(
+            lambda _: repl, tree, is_leaf=lambda x: isinstance(x, jax.Array)
+        )
+        return repl, data, as_tree
 
     def _features(self, fp, images):
-        if self.feature_params is None:
-            return self.feature_fn(images)
-        return self.feature_fn(fp, images)
+        out = (self.feature_fn(images) if self.feature_params is None
+               else self.feature_fn(fp, images))
+        if self.use_cls_token:
+            feats, cls = out
+            return (jax.lax.stop_gradient(feats),
+                    jax.lax.stop_gradient(cls))
+        return jax.lax.stop_gradient(out), None
 
     def init_state(self, example_images: Array):
-        feats = self._features(self.feature_params, example_images[:1])
+        feats, cls = self._features(self.feature_params, example_images[:1])
         variables = self.head.init(
-            jax.random.PRNGKey(self.seed), feats, train=False
+            jax.random.PRNGKey(self.seed), feats, cls, train=False
         )
         params = variables["params"]
-        return {
+        state = {
             "params": params,
             "batch_stats": variables.get("batch_stats", {}),
             "opt_state": self.tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def _loss(self, params, batch_stats, images, gt, fp):
-        feats = jax.lax.stop_gradient(self._features(fp, images))
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    def _loss(self, params, batch_stats, images, gt, fp, step):
+        feats, cls = self._features(fp, images)
         pred, updates = self.head.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
+            cls,
             train=True,
             mutable=["batch_stats"],
         )
         pred = bilinear_upsample(pred[..., None], gt.shape[1:3])[..., 0]
-        loss = self.sig_weight * sig_loss(pred, gt, self.max_depth)
+        warm = step < self.sig_warmup_iters
+        loss = self.sig_weight * sig_loss(pred, gt, warm=warm)
         gl = 0.0
         for b in range(gt.shape[0]):
-            gl = gl + gradient_loss(pred[b], gt[b], self.max_depth)
+            gl = gl + gradient_loss(pred[b], gt[b])
         loss = loss + self.grad_weight * gl / gt.shape[0]
-        return loss, updates["batch_stats"]
+        return loss, updates.get("batch_stats", {})
 
     def _train_step(self, state, images, gt, fp):
         (loss, new_stats), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state["params"], state["batch_stats"], images, gt, fp)
+        )(state["params"], state["batch_stats"], images, gt, fp,
+          state["step"])
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]
         )
@@ -211,16 +293,36 @@ class DepthLinearProbe:
         )
 
     def train_step(self, state, images, gt):
+        if self._train_jit is None:
+            kwargs = {}
+            if self.mesh is not None:
+                repl, data, as_tree = self._shardings()
+                kwargs = dict(in_shardings=(
+                    as_tree(state), data, data, as_tree(self.feature_params),
+                ))
+            self._train_jit = jax.jit(self._train_step, **kwargs)
         return self._train_jit(state, images, gt, self.feature_params)
 
     def _predict(self, state, images, fp):
-        feats = self._features(fp, images)
+        feats, cls = self._features(fp, images)
         pred = self.head.apply(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             feats,
+            cls,
             train=False,
         )
         return bilinear_upsample(pred[..., None], images.shape[1:3])[..., 0]
 
     def predict(self, state, images: Array) -> Array:
+        """Batched whole-image inference; with a mesh the image batch is
+        sharded over the 'data' axis (the reference evals run 8-way
+        MMDistributedDataParallel, evaluation/depth/apis/train.py:61-66) -
+        jit propagates the input shardings."""
+        if self._pred_jit is None:
+            self._pred_jit = jax.jit(self._predict)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            images = jax.device_put(
+                images, NamedSharding(self.mesh, P("data")))
         return self._pred_jit(state, images, self.feature_params)

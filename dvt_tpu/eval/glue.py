@@ -40,26 +40,45 @@ def make_feature_fn(
     denoiser_params=None,
     vit_params=None,
     pad_multiple: Optional[int] = None,
+    return_cls_token: bool = False,
 ):
     """Build (feature_fn(params, images) -> (B, h, w, C), params) for the
     probes. Backbone params are threaded as explicit jit arguments - baking
     a ViT-B as closure constants inflates the serialized program past
-    compile-service request limits."""
+    compile-service request limits.
+
+    ``return_cls_token``: the reference depth probes feed the head
+    (patch_map, cls_token) pairs (output_cls_token=True at
+    vitb_nyu_linear_config.py:147; format_output at
+    evaluation/eval_utils/misc.py:159-188 keeps prefix token 0). With this
+    flag the returned fn yields (feats, cls) where cls is (B, C). In the
+    denoiser mode the cls token is the raw ViT's - the single-block
+    denoiser only processes patch tokens (dvt/models/online_denoiser.py:
+    62-104)."""
     params = {
         "vit": vit_params if vit_params is not None else vit_wrapper.params,
         "denoiser": denoiser_params,
     }
     n = [vit_wrapper.last_layer_index]
 
-    def fn(p, images: Array) -> Array:
+    def fn(p, images: Array):
         x = images
         if pad_multiple:
             x = center_pad(x, pad_multiple)
-        feats = vit_wrapper.get_intermediate_layers(
-            x, n=n, norm=True, params=p["vit"]
-        )[-1]
+        out = vit_wrapper.get_intermediate_layers(
+            x, n=n, norm=True, params=p["vit"],
+            return_prefix_tokens=return_cls_token,
+        )
+        if return_cls_token:
+            feats, prefix = out[-1]
+            cls = prefix[:, 0]
+        else:
+            feats = out[-1]
         if denoiser is not None:
             feats = denoiser.apply({"params": p["denoiser"]}, feats)
-        return jax.lax.stop_gradient(feats)
+        feats = jax.lax.stop_gradient(feats)
+        if return_cls_token:
+            return feats, jax.lax.stop_gradient(cls)
+        return feats
 
     return fn, params

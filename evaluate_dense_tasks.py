@@ -33,7 +33,9 @@ TASKS = {
                    val_ann_dir="annotations/validation",
                    train_split=None, val_split=None,
                    img_suffix=".jpg", iters=40_000, lr=1e-3, wd=1e-4),
-    "nyu": dict(iters=38_400, lr=5e-3, wd=0.005),
+    # NYU recipe: vitb_nyu_linear_config.py:184-199 (AdamW lr 5e-3 wd 0.01,
+    # cosine annealing with 12.8k-iter warmup, 38.4k iters)
+    "nyu": dict(iters=38_400, lr=5e-3, wd=0.01),
 }
 
 
@@ -60,7 +62,7 @@ def get_args():
     return p.parse_args()
 
 
-def build_feature_fn(args):
+def build_feature_fn(args, return_cls_token: bool = False):
     import jax.numpy as jnp
 
     from dvt_tpu.eval.glue import make_feature_fn
@@ -81,8 +83,21 @@ def build_feature_fn(args):
     fn, fparams = make_feature_fn(
         wrapper, denoiser, denoiser_params,
         pad_multiple=wrapper.patch_size,
+        return_cls_token=return_cls_token,
     )
     return fn, fparams, wrapper
+
+
+def build_mesh():
+    """Data-parallel mesh over all local devices (the reference evals run
+    torchrun x8, evaluation/depth/apis/train.py:61-66). None on one device."""
+    import jax
+
+    if jax.device_count() <= 1:
+        return None
+    from dvt_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=jax.device_count())
 
 
 def run_seg(args, cfg):
@@ -113,6 +128,7 @@ def run_seg(args, cfg):
 
     probe = SegLinearProbe(
         feature_fn, cfg["num_classes"], feature_params=fparams,
+        mesh=build_mesh(),
         lr=cfg["lr"], weight_decay=cfg["wd"],
         total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
     )
@@ -177,15 +193,19 @@ def run_depth(args, cfg):
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
-    feature_fn, fparams, wrapper = build_feature_fn(args)
+    # depth probes feed the head (patch map, cls token) pairs
+    # (vitb_nyu_linear_config.py:147, eval_utils/misc.py:159-188)
+    feature_fn, fparams, wrapper = build_feature_fn(args, return_cls_token=True)
     train_ds = NYUDepthDataset(
         args.data_root, "nyu_train.txt", train=True, seed=args.seed
     )
     val_ds = NYUDepthDataset(args.data_root, "nyu_test.txt", train=False)
     logger.info(f"train {len(train_ds)} / val {len(val_ds)} images")
 
+    mesh = build_mesh()
     probe = DepthLinearProbe(
-        feature_fn, feature_params=fparams,
+        feature_fn, feature_params=fparams, mesh=mesh,
+        use_cls_token=True,
         lr=cfg["lr"], weight_decay=cfg["wd"],
         total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
     )
@@ -199,24 +219,58 @@ def run_depth(args, cfg):
     state = None
 
     def evaluate(state, step):
-        sums, n = {}, 0
+        """Batched val inference (NYU val images share one shape, so whole
+        batches run in one dispatch, data-sharded over the mesh); per-image
+        metric dicts with empty eigen-crop masks are skipped rather than
+        poisoning the epoch average."""
+        sums, n, skipped = {}, 0, 0
         count = len(val_ds) if args.max_val_images is None else min(
             len(val_ds), args.max_val_images
         )
+        eval_bs = max(args.batch_size, 1)
+        pending = []  # (image, depth)
+        mask_cache = {}
+
+        def flush():
+            nonlocal n, skipped
+            if not pending:
+                return
+            imgs = np.stack([p[0] for p in pending])
+            if mesh is not None:  # pad to a shardable batch, trim after
+                mult = mesh.shape["data"]
+                pad = (-len(imgs)) % mult
+                if pad:
+                    imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+            preds = np.asarray(probe.predict(state, jnp.asarray(imgs)))
+            for (img, gt), pred in zip(pending, preds):
+                shape = gt.shape
+                if shape not in mask_cache:
+                    mask_cache[shape] = eigen_crop_mask(shape)
+                m = depth_metrics(gt, pred, eval_mask=mask_cache[shape])
+                if any(np.isnan(v) for v in m.values()):
+                    skipped += 1
+                    continue
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                n += 1
+            pending.clear()
+
+        last_shape = None
         for i in range(count):
             item = val_ds[i]
             if "depth" not in item:
                 continue
-            pred = np.asarray(
-                probe.predict(state, jnp.asarray(item["image"][None]))
-            )[0]
-            mask = eigen_crop_mask(item["depth"].shape)
-            m = depth_metrics(item["depth"], pred, eval_mask=mask)
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + v
-            n += 1
+            shape = item["image"].shape
+            if pending and (shape != last_shape or len(pending) >= eval_bs):
+                flush()
+            pending.append((item["image"], item["depth"]))
+            last_shape = shape
+        flush()
         res = {k: v / max(n, 1) for k, v in sums.items()}
         res["iteration"] = step
+        res["num_images"] = n
+        if skipped:
+            res["skipped_nan"] = skipped
         with open(metrics_path, "a") as f:
             f.write(json.dumps(res) + "\n")
         logger.info(f"[eval @ {step}] {res}")
