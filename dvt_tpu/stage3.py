@@ -50,9 +50,14 @@ class Stage3Config:
     tensor_parallel: bool = False
     grad_clip: Any = None
     compute_dtype: Any = jnp.bfloat16
+    # Explicit architecture override: when set, used instead of the zoo
+    # lookup by ``model`` (tiny architectures for dryruns/tests).
+    vit_cfg_override: Any = None
 
     @property
     def vit_cfg(self) -> ViTConfig:
+        if self.vit_cfg_override is not None:
+            return self.vit_cfg_override
         return get_model_config(self.model)
 
     @property
