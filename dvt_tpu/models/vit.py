@@ -152,7 +152,7 @@ class Attention(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     precision: Any = None
-    attention_impl: str = "einsum"  # "einsum" | "flash" (Pallas, inference)
+    attention_impl: str = "einsum"  # "einsum" | "flash" (Pallas, fwd+bwd)
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -248,7 +248,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     remat: bool = False
-    attention_impl: str = "einsum"  # "flash" for long-sequence inference
+    attention_impl: str = "einsum"  # "flash" for long sequences (differentiable)
 
     def feat_grid(self, h: int, w: int) -> Tuple[int, int]:
         s = self.stride or self.cfg.patch_size
@@ -393,6 +393,7 @@ class ViTWrapper:
         dtype: Any = jnp.float32,
         precision: Any = None,
         remat: bool = False,
+        attention_impl: str = "einsum",
         seed: int = 0,
     ):
         self.model_identifier = model_identifier
@@ -401,7 +402,7 @@ class ViTWrapper:
         self.patch_size = self.cfg.patch_size
         self.module = VisionTransformer(
             self.cfg, stride=stride, dtype=dtype, precision=precision,
-            remat=remat,
+            remat=remat, attention_impl=attention_impl,
         )
         if checkpoint_path is not None:
             from dvt_tpu.models.convert import load_torch_vit_checkpoint

@@ -50,6 +50,10 @@ class Stage3Config:
     tensor_parallel: bool = False
     grad_clip: Any = None
     compute_dtype: Any = jnp.bfloat16
+    # "flash" uses the Pallas flash-attention kernel (fwd + custom VJP) in
+    # both teacher and student - the memory lever for small-stride
+    # distillation (SURVEY.md 5.7)
+    attention_impl: str = "einsum"
     # Explicit architecture override: when set, used instead of the zoo
     # lookup by ``model`` (tiny architectures for dryruns/tests).
     vit_cfg_override: Any = None
@@ -101,6 +105,7 @@ class Stage3Trainer:
             stride=cfg.stride,
             dtype=cfg.compute_dtype,
             remat=cfg.grad_checkpointing,
+            attention_impl=cfg.attention_impl,
         )
         gh, gw = cfg.feat_grid
         self.denoiser = Denoiser(

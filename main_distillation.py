@@ -29,6 +29,11 @@ def get_args():
     p.add_argument("--vit_ckpt", type=str, default=None,
                    help="pretrained backbone .pth to convert+load")
     p.add_argument("--grad_checkpointing", action="store_true")
+    p.add_argument("--attention_impl", type=str, default="einsum",
+                   choices=("einsum", "flash"),
+                   help="flash: Pallas streaming-softmax attention "
+                        "(fwd + custom VJP) in teacher AND student - the "
+                        "memory lever for small strides")
     p.add_argument("--tensor_parallel", action="store_true")
     p.add_argument("--data_root", type=str, default="data/imagenet")
     p.add_argument("--input_size", type=int, default=518, nargs="+")
@@ -127,6 +132,7 @@ def main():
         grad_checkpointing=args.grad_checkpointing,
         tensor_parallel=args.tensor_parallel,
         grad_clip=args.clip_grad,
+        attention_impl=args.attention_impl,
     )
     logger.info(
         f"mesh={mesh.shape} global_bs={global_bs} iters={num_iterations} "

@@ -1,10 +1,18 @@
 """Video demo generator: per-frame feature visualizations as mp4/gif.
 
 TPU counterpart of the reference's make_video_demo.py: run a (optionally
-distilled) backbone at a small stride over a frame directory and write
-PCA / k-means / norm visualization videos, using dataset-level PCA/cluster
-statistics computed from a sample of frames (reference uses precomputed
-demo/assets/stats.pth; we compute stats on the fly from the clip).
+distilled) backbone at a small stride over a frame directory and write the
+reference's per-mode videos (make_video_demo.py:219-238) plus per-frame
+pngs (:90-212):
+
+  image, instance_pca (frame-0 robust PCA), dataset_pca (clip-level PCA;
+  the reference uses precomputed demo/assets/stats.pth - we fit the same
+  statistics from a frame sample), kmeans (fit on frame 0, predicted on
+  the rest), first/second/third_pca (inferno single components), fg_pca
+  (mask 1 - pca2 > 0.1), fg_pca_standard (sign of the standard mapping;
+  ours is the clip PCA's negated 2nd direction), norm (softmax/5
+  temperature), and a combined features.mp4 panel. With --denoiser_ckpt a
+  raw-vs-denoised side-by-side (side_by_side.mp4) is also written.
 """
 
 import argparse
@@ -28,6 +36,12 @@ def get_args():
     p.add_argument("--vit_ckpt", type=str, default=None)
     p.add_argument("--denoiser_ckpt", type=str, default=None)
     p.add_argument("--stride_size", type=int, default=7)
+    p.add_argument("--attention_impl", type=str, default="flash",
+                   choices=("einsum", "flash"),
+                   help="flash (default): Pallas streaming-softmax "
+                        "attention - at stride 4 the grid is ~26k tokens "
+                        "and quadratic SDPA would materialize the score "
+                        "matrix")
     p.add_argument("--input_size", type=int, default=294)
     p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--stats_frames", type=int, default=8,
@@ -81,6 +95,7 @@ def main():
     wrapper = ViTWrapper(
         args.model, stride=args.stride_size,
         checkpoint_path=args.vit_ckpt, dtype=jnp.bfloat16,
+        attention_impl=args.attention_impl,
     )
     denoiser = denoiser_params = None
     if args.denoiser_ckpt:
@@ -89,16 +104,22 @@ def main():
         denoiser_params = load_denoiser_params(args.denoiser_ckpt)
         denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
     feature_fn, fparams = make_feature_fn(wrapper, denoiser, denoiser_params)
+    raw_fn, raw_params = make_feature_fn(wrapper)  # raw mode for side-by-side
 
     size = (args.input_size, args.input_size)
     mean = np.asarray(wrapper.cfg.mean, np.float32)
     std = np.asarray(wrapper.cfg.std, np.float32)
 
-    def frame_feats(path):
+    def frame_feats(path, fn=feature_fn, fp=fparams):
         img = resize_image(load_image(path), size)
         x = (img.astype(np.float32) / 255.0 - mean) / std
-        f = feature_fn(fparams, jnp.asarray(x[None]))
+        f = fn(fp, jnp.asarray(x[None]))
         return img, np.asarray(f[0], np.float32)
+
+    import jax
+
+    from dvt_tpu.utils.kmeans import cosine_kmeans_fit, cosine_kmeans_predict
+    from dvt_tpu.utils.visualization import _bilinear_resize, _cmap
 
     # dataset-level PCA stats from a frame sample (replaces stats.pth)
     sample = frames[:: max(len(frames) // args.stats_frames, 1)]
@@ -106,22 +127,124 @@ def main():
         [frame_feats(p)[1].reshape(-1, wrapper.n_output_dims) for p in sample]
     )
     pca_stats = get_robust_pca(stat_feats)
+    dataset_mat = np.asarray(pca_stats[0], np.float32)  # (C, 3)
+    # "standard mapping" foreground direction (reference stats.pth
+    # denoised_standard_mapping): the clip PCA's negated 2nd component
+    standard_vec = -dataset_mat[:, 1]
+    inferno = _cmap("inferno")
 
-    panels = []
-    for path in frames:
+    scene = os.path.basename(os.path.normpath(args.frames_dir)) or "scene"
+    png_dir = os.path.join(args.output_dir, scene, "images")
+    os.makedirs(png_dir, exist_ok=True)
+
+    def to_img(x01, hw):
+        x01 = _bilinear_resize(np.asarray(x01, np.float32), hw)
+        return (np.clip(x01, 0, 1) * 255).astype(np.uint8)
+
+    def norm01(x, axis=0):
+        lo = x.min(axis=axis, keepdims=True)
+        hi = x.max(axis=axis, keepdims=True)
+        return (x - lo) / np.maximum(hi - lo, 1e-8)
+
+    videos = {k: [] for k in (
+        "image", "instance_pca", "dataset_pca", "kmeans", "first_pca",
+        "second_pca", "third_pca", "fg_pca", "fg_pca_standard", "norm",
+        "features", "side_by_side",
+    )}
+    instance_mat = kmeans_centers = fg_reduct = fg_reduct_std = None
+
+    for i, path in enumerate(frames):
         img, feats = frame_feats(path)
         hw = img.shape[:2]
+        gh, gw, C = feats.shape
+        flat = feats.reshape(-1, C)
+
+        if i == 0:
+            instance_mat = np.asarray(get_robust_pca(flat, m=2.0)[0])
+            kmeans_centers = np.asarray(cosine_kmeans_fit(
+                jax.random.PRNGKey(0), jnp.asarray(flat), 8
+            ))
+
+        frame_out = {}
+        frame_out["image"] = img.astype(np.uint8)
+        # instance + dataset PCA (frame-level min/max normalization)
+        pca_inst = norm01(flat @ instance_mat).reshape(gh, gw, 3)
+        frame_out["instance_pca"] = to_img(pca_inst, hw)
+        pca_full = flat @ dataset_mat
+        frame_out["dataset_pca"] = to_img(norm01(pca_full).reshape(gh, gw, 3), hw)
+        # kmeans predicted with frame-0 centers, rainbow colormap
+        labels = np.asarray(
+            cosine_kmeans_predict(jnp.asarray(flat), jnp.asarray(kmeans_centers))
+        ).reshape(gh, gw)
+        frame_out["kmeans"] = to_img(_cmap("rainbow")(labels / 8.0)[..., :3], hw)
+        # single components through inferno (2nd is sign-flipped, :158)
+        for name, comp in (("first_pca", pca_full[:, 0]),
+                           ("second_pca", 1 - pca_full[:, 1]),
+                           ("third_pca", pca_full[:, 2])):
+            c01 = norm01(comp.reshape(-1, 1))[:, 0].reshape(gh, gw)
+            frame_out[name] = to_img(inferno(c01)[..., :3], hw)
+        # foreground PCA splits (masks + frame-0 lowrank PCA, :176-211)
+        for name, mask in (
+            ("fg_pca", (1 - norm01(pca_full)[:, 1]) > 0.1),
+            ("fg_pca_standard", flat @ standard_vec > 0),
+        ):
+            if i == 0:
+                fg = flat[mask] if mask.any() else flat
+                _, _, vt = np.linalg.svd(fg - fg.mean(0), full_matrices=False)
+                reduct = vt[:3].T
+                if name == "fg_pca":
+                    fg_reduct = reduct
+                else:
+                    fg_reduct_std = reduct
+            reduct = fg_reduct if name == "fg_pca" else fg_reduct_std
+            fg01 = norm01(flat @ reduct) * mask[:, None]
+            frame_out[name] = to_img(fg01.reshape(gh, gw, 3), hw)
+        # feature-norm heatmap with the reference's softmax/5 contrast
+        n_ = np.linalg.norm(flat, axis=-1)
+        sm = np.exp(n_ / 5 - (n_ / 5).max())
+        sm = sm / sm.sum()
+        frame_out["norm"] = to_img(
+            inferno(norm01(sm.reshape(-1, 1))[:, 0].reshape(gh, gw))[..., :3],
+            hw,
+        )
+        # combined panel (image | dataset pca | kmeans | norm)
         panel = hcat(
             img.astype(np.float32) / 255.0,
             get_pca_map(feats, hw, pca_stats=pca_stats),
             get_cluster_map(feats, hw, args.num_clusters),
             get_scale_map(feats, hw),
         )
-        panels.append((np.clip(panel, 0, 1) * 255).astype(np.uint8))
-    out = write_video(
-        os.path.join(args.output_dir, "features.mp4"), panels, args.fps
-    )
-    print(f"wrote {out} ({len(panels)} frames)")
+        frame_out["features"] = (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+        if denoiser is not None:
+            _, raw_feats = frame_feats(path, raw_fn, raw_params)
+            side = hcat(
+                img.astype(np.float32) / 255.0,
+                get_pca_map(raw_feats, hw, pca_stats=pca_stats),
+                get_pca_map(feats, hw, pca_stats=pca_stats),
+            )
+            frame_out["side_by_side"] = (
+                np.clip(side, 0, 1) * 255
+            ).astype(np.uint8)
+
+        for name, arr in frame_out.items():
+            videos[name].append(arr)
+            if name not in ("features", "side_by_side"):
+                from PIL import Image
+
+                suffix = "input" if name == "image" else name
+                Image.fromarray(arr).save(
+                    os.path.join(png_dir, f"{i:02d}_{suffix}.png")
+                )
+
+    written = []
+    for name, seq in videos.items():
+        if not seq:
+            continue
+        written.append(write_video(
+            os.path.join(args.output_dir, scene, f"{name}.mp4"), seq, args.fps
+        ))
+    print(f"wrote {len(written)} videos x {len(frames)} frames under "
+          f"{os.path.join(args.output_dir, scene)}")
 
 
 if __name__ == "__main__":
