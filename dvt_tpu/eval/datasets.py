@@ -13,6 +13,7 @@ File layouts follow the upstream conventions so the same data roots work.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -269,3 +270,65 @@ class NYUDepthDataset:
             "image": np.ascontiguousarray(img, np.float32),
             "depth": np.ascontiguousarray(depth, np.float32),
         }
+
+
+class SegFeatureDataset:
+    """Cached-feature segmentation dataset: stage-1 ``.npy`` feature maps as
+    the 'images'.
+
+    The reference evaluates cached features directly through
+    PascalVOCFeatureDataset (img_suffix='.npy',
+    evaluation/segmentation/datasets/dataset_feature_wrapper.py:9-68) +
+    LoadFeaturesFromFile (pipelines/loading.py:10-99). Here: ``feat_dir``
+    is a directory of per-image feature files in the stage-1 dump layout
+    (e.g. <save_root>/denoised_features/<model>/), labels come from the
+    ordinary VOC/ADE annotation dir, and the linear probe trains on the
+    feature maps with an identity backbone.
+    """
+
+    def __init__(self, feat_dir: str, data_root: str, ann_dir: str,
+                 split: Optional[str] = None, seg_suffix: str = ".png",
+                 reduce_zero_label: bool = False,
+                 label_size: Optional[Tuple[int, int]] = None):
+        self.feat_dir = feat_dir
+        self.ann_dir = os.path.join(data_root, ann_dir)
+        self.seg_suffix = seg_suffix
+        self.reduce_zero_label = reduce_zero_label
+        # train mode: nearest-resize labels to a common shape so feature
+        # batches collate (features already share the stage-1 grid shape)
+        self.label_size = label_size
+        if split:
+            with open(os.path.join(data_root, split)) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+        else:
+            names = sorted(
+                os.path.splitext(os.path.relpath(p, feat_dir))[0]
+                for p in glob.glob(os.path.join(feat_dir, "**/*.npy"),
+                                   recursive=True)
+            )
+        # keep only names whose feature dump exists (stage 1 may have been
+        # run on a subset; the reference silently falls back to a fixed
+        # file, loading.py:55-62 - we drop instead)
+        self.names = [
+            n for n in names
+            if os.path.isfile(os.path.join(feat_dir, n + ".npy"))
+        ]
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        name = self.names[index]
+        feat = np.load(os.path.join(self.feat_dir, name + ".npy"))
+        feat = np.asarray(feat, np.float32)
+        feat = feat.reshape(feat.shape[-3], feat.shape[-2], feat.shape[-1])
+        lab = _load_label(os.path.join(self.ann_dir, name + self.seg_suffix))
+        if lab.ndim == 3:
+            lab = lab[..., 0]
+        if self.reduce_zero_label:
+            lab = lab.astype(np.int16) - 1
+            lab[lab < 0] = 255
+            lab = lab.astype(np.uint8)
+        if self.label_size is not None and lab.shape != tuple(self.label_size):
+            lab = _nearest_resize_u8(lab, tuple(self.label_size))
+        return {"feature": feat, "label": lab.astype(np.int32)}

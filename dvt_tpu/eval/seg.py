@@ -29,16 +29,47 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
+def resize_concat(inputs, in_index: Sequence[int],
+                  align_corners: bool = False) -> Array:
+    """The reference BNHead's 'resize_concat' input transform
+    (evaluation/segmentation/models/decode_heads/linear_head.py:48-85):
+    select ``in_index`` maps from a multi-level list, bilinear-resize each
+    to the FIRST selected map's spatial shape, concat on channels. (B, C)
+    descriptors broadcast as 1x1 maps."""
+    maps = []
+    for i in in_index:
+        x = inputs[i]
+        if x.ndim == 2:  # image-level descriptor -> 1x1 map
+            x = x[:, None, None, :]
+        maps.append(x)
+    target = maps[0].shape[1:3]
+    maps = [
+        m if m.shape[1:3] == target
+        else bilinear_upsample(m, target, align_corners=align_corners)
+        for m in maps
+    ]
+    return jnp.concatenate(maps, axis=-1)
+
+
 class BNHead(nn.Module):
-    """BatchNorm + 1x1 conv classifier on (B, h, w, C) features."""
+    """BatchNorm + 1x1 conv classifier on (B, h, w, C) features.
+
+    ``feats`` may be a single map or a LIST of multi-level maps; lists go
+    through the reference's resize_concat transform with ``in_index``
+    selecting levels (linear_head.py:41-85; the shipped VOC/ADE recipes
+    tap out_indices [8,9,10,11] with in_index [3] = last layer only)."""
 
     num_classes: int
+    in_index: Sequence[int] = (0,)
+    align_corners: bool = False
     sync_axis: Optional[str] = None  # "data" under shard_map/pjit with axis
     momentum: float = 0.9
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, feats: Array, train: bool = False) -> Array:
+    def __call__(self, feats, train: bool = False) -> Array:
+        if isinstance(feats, (list, tuple)):
+            feats = resize_concat(feats, self.in_index, self.align_corners)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,

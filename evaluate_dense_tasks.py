@@ -53,6 +53,12 @@ def get_args():
                    help="backbone weights (.pth converted, or distilled)")
     p.add_argument("--denoiser_ckpt", type=str, default=None,
                    help="stage-2 denoiser: evaluate ViT+denoiser mode")
+    p.add_argument("--feature_root", type=str, default=None,
+                   help="seg only: train/eval the probe directly on cached "
+                        "stage-1 .npy feature dumps (the reference's "
+                        "PascalVOCFeatureDataset path) instead of running "
+                        "the backbone; e.g. "
+                        "<save_root>/denoised_features/<model>")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_iterations", type=int, default=None)
     p.add_argument("--eval_interval", type=int, default=10_000)
@@ -183,6 +189,82 @@ def run_seg(args, cfg):
             evaluate(state, step + 1)
 
 
+def run_seg_features(args, cfg):
+    """Linear probe trained DIRECTLY on cached stage-1 feature dumps - the
+    reference's PascalVOCFeatureDataset / LoadFeaturesFromFile path
+    (evaluation/segmentation/datasets/dataset_feature_wrapper.py:9-68,
+    pipelines/loading.py:10-99). No backbone runs; whole-feature inference."""
+    import jax.numpy as jnp
+
+    from dvt_tpu.data.prefetch import DataLoader
+    from dvt_tpu.data.samplers import InfiniteSampler
+    from dvt_tpu.eval.datasets import SegFeatureDataset, _nearest_resize_u8
+    from dvt_tpu.eval.seg import ConfusionAccumulator, SegLinearProbe
+    from dvt_tpu.train.logging import MetricLogger, setup_logging
+
+    logger = setup_logging(args.work_dir)
+    train_ds = SegFeatureDataset(
+        args.feature_root, args.data_root, cfg["ann_dir"],
+        split=cfg.get("train_split"),
+        reduce_zero_label=cfg["reduce_zero_label"], label_size=(512, 512),
+    )
+    val_ds = SegFeatureDataset(
+        args.feature_root, args.data_root,
+        cfg.get("val_ann_dir", cfg["ann_dir"]), split=cfg.get("val_split"),
+        reduce_zero_label=cfg["reduce_zero_label"],
+    )
+    logger.info(f"[cached features] train {len(train_ds)} / val {len(val_ds)}")
+
+    probe = SegLinearProbe(
+        lambda feats: feats, cfg["num_classes"], mesh=build_mesh(),
+        lr=cfg["lr"], weight_decay=cfg["wd"],
+        total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
+    )
+    loader = DataLoader(
+        train_ds, args.batch_size, InfiniteSampler(len(train_ds)),
+        num_workers=args.num_workers,
+    )
+    total = args.num_iterations or cfg["iters"]
+    ml = MetricLogger(output_file=os.path.join(args.work_dir, "train_log.json"))
+    metrics_path = os.path.join(args.work_dir, "eval_metrics.json")
+    state = None
+
+    def evaluate(state, step):
+        acc = ConfusionAccumulator(cfg["num_classes"])
+        n = len(val_ds) if args.max_val_images is None else min(
+            len(val_ds), args.max_val_images
+        )
+        for i in range(n):
+            item = val_ds[i]
+            logits = np.asarray(probe.predict_logits(
+                state, jnp.asarray(item["feature"][None])
+            ))[0]
+            pred = logits.argmax(-1).astype(np.uint8)
+            if pred.shape != item["label"].shape:
+                pred = _nearest_resize_u8(pred, item["label"].shape)
+            acc.add(pred.astype(np.int64),
+                    np.asarray(item["label"], np.int64))
+        res = acc.results()
+        res["iteration"] = step
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        logger.info(f"[eval @ {step}] {res}")
+
+    for step, batch in enumerate(
+        ml.log_every(loader, 50, header="SegFeatProbe", n_iterations=total)
+    ):
+        if state is None:
+            state = probe.init_state(jnp.asarray(batch["feature"]))
+        if step >= total:
+            break
+        state, m = probe.train_step(
+            state, jnp.asarray(batch["feature"]), jnp.asarray(batch["label"])
+        )
+        ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
+        if (step + 1) % args.eval_interval == 0 or step == total - 1:
+            evaluate(state, step + 1)
+
+
 def run_depth(args, cfg):
     import jax.numpy as jnp
 
@@ -295,7 +377,10 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     cfg = TASKS[args.task]
     if args.task in ("voc", "ade20k"):
-        run_seg(args, cfg)
+        if args.feature_root:
+            run_seg_features(args, cfg)
+        else:
+            run_seg(args, cfg)
     else:
         run_depth(args, cfg)
 

@@ -183,3 +183,78 @@ class TestGlue:
         assert out.shape == (1, 42, 56, 3)
         out2 = center_pad(jnp.zeros((1, 28, 28, 3)), 14)
         assert out2.shape == (1, 28, 28, 3)
+
+
+class TestResizeConcat:
+    def test_multi_level_concat_matches_torch_semantics(self, rng):
+        """resize_concat: select in_index, bilinear-resize to first, concat
+        (linear_head.py:48-85)."""
+        import torch
+        import torch.nn.functional as F
+
+        from dvt_tpu.eval.seg import resize_concat
+
+        maps = [
+            rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            rng.standard_normal((2, 4, 4, 4)).astype(np.float32),
+            rng.standard_normal((2, 2)).astype(np.float32),  # descriptor
+        ]
+        out = np.asarray(resize_concat(
+            [jnp.asarray(m) for m in maps], in_index=(0, 1, 2)
+        ))
+        assert out.shape == (2, 8, 8, 10)
+        up = F.interpolate(
+            torch.from_numpy(maps[1]).permute(0, 3, 1, 2), size=(8, 8),
+            mode="bilinear", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out[..., 4:8], up, atol=1e-5)
+        np.testing.assert_allclose(
+            out[..., 8:], np.broadcast_to(maps[2][:, None, None, :],
+                                          (2, 8, 8, 2)), atol=1e-6)
+
+    def test_bnhead_accepts_multi_level_list(self, rng):
+        from dvt_tpu.eval.seg import BNHead
+
+        head = BNHead(num_classes=5, in_index=(1, 0))
+        feats = [
+            jnp.asarray(rng.standard_normal((1, 4, 4, 3)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32)),
+        ]
+        variables = head.init(jax.random.PRNGKey(0), feats)
+        out = head.apply(variables, feats)
+        assert out.shape == (1, 8, 8, 5)  # first selected level's grid
+
+
+class TestSegFeatureDataset:
+    def test_loads_feature_label_pairs(self, tmp_path, rng):
+        from PIL import Image
+
+        from dvt_tpu.eval.datasets import SegFeatureDataset
+
+        feat_dir = tmp_path / "feats"
+        ann_dir = tmp_path / "SegmentationClass"
+        feat_dir.mkdir(); ann_dir.mkdir()
+        for n in ("a", "b"):
+            np.save(feat_dir / f"{n}.npy",
+                    rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+            Image.fromarray(
+                rng.integers(0, 20, (24, 30), dtype=np.uint8).astype(np.uint8)
+            ).save(ann_dir / f"{n}.png")
+        np.save(feat_dir / "orphan.npy", np.zeros((1, 6, 6, 8), np.float32))
+
+        ds = SegFeatureDataset(str(feat_dir), str(tmp_path),
+                               "SegmentationClass")
+        # orphan has no label on disk but a feature - it IS listed (labels
+        # are checked lazily); use a split to scope
+        (tmp_path / "split.txt").write_text("a\nb\n")
+        ds = SegFeatureDataset(str(feat_dir), str(tmp_path),
+                               "SegmentationClass", split="split.txt")
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["feature"].shape == (6, 6, 8)
+        assert item["label"].shape == (24, 30)
+
+        ds_tr = SegFeatureDataset(str(feat_dir), str(tmp_path),
+                                  "SegmentationClass", split="split.txt",
+                                  label_size=(16, 16))
+        assert ds_tr[0]["label"].shape == (16, 16)
