@@ -201,6 +201,7 @@ class DepthLinearProbe:
     grad_clip: float = 35.0
     use_cls_token: bool = False
     upsample: int = 4
+    grad_accum_steps: int = 1  # DistOptimizerHook update_interval semantics
     seed: int = 0
 
     def __post_init__(self):
@@ -215,6 +216,10 @@ class DepthLinearProbe:
             optax.clip_by_global_norm(self.grad_clip),
             optax.adamw(self.schedule, weight_decay=self.weight_decay),
         )
+        if self.grad_accum_steps > 1:
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.grad_accum_steps
+            )
         self._train_jit = None
         self._pred_jit = None
 

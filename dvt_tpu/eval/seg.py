@@ -145,6 +145,7 @@ class SegLinearProbe:
     weight_decay: float = 1e-4
     total_iters: int = 40_000
     warmup_iters: int = 1500
+    grad_accum_steps: int = 1  # DistOptimizerHook update_interval semantics
     seed: int = 0
 
     def __post_init__(self):
@@ -155,6 +156,12 @@ class SegLinearProbe:
         self.tx = optax.adamw(
             self.schedule, b1=0.9, b2=0.999, weight_decay=self.weight_decay
         )
+        if self.grad_accum_steps > 1:
+            # grads averaged over N mini-steps, optimizer applied every Nth
+            # (evaluation/segmentation/hooks/optimizer.py:15-47)
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.grad_accum_steps
+            )
         self._train_jit = None
         self._logits_jit = jax.jit(self._logits)
 

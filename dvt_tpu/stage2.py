@@ -43,6 +43,7 @@ class Stage2Config:
     warmup_frac: float = 0.15
     global_batch_size: int = 256
     grad_clip: Any = None
+    grad_accum_steps: int = 1  # optax.MultiSteps over mini-batches
     compute_dtype: Any = jnp.float32
 
     @property
@@ -82,7 +83,8 @@ class Stage2Trainer:
             cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
         )
         self.tx = make_adamw(self.schedule, cfg.weight_decay,
-                             grad_clip=cfg.grad_clip)
+                             grad_clip=cfg.grad_clip,
+                             grad_accum_steps=cfg.grad_accum_steps)
 
         dummy = jnp.zeros(
             (1, cfg.noise_map_height, cfg.noise_map_width, cfg.feat_dim),

@@ -49,6 +49,7 @@ class Stage3Config:
     grad_checkpointing: bool = False
     tensor_parallel: bool = False
     grad_clip: Any = None
+    grad_accum_steps: int = 1  # optax.MultiSteps over mini-batches
     compute_dtype: Any = jnp.bfloat16
     # "flash" uses the Pallas flash-attention kernel (fwd + custom VJP) in
     # both teacher and student - the memory lever for small-stride
@@ -119,7 +120,8 @@ class Stage3Trainer:
             cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
         )
         self.tx = make_adamw(self.schedule, cfg.weight_decay,
-                             grad_clip=cfg.grad_clip)
+                             grad_clip=cfg.grad_clip,
+                             grad_accum_steps=cfg.grad_accum_steps)
 
         tp = cfg.tensor_parallel
         student_params = shard_params(mesh, student_params, tp)

@@ -25,10 +25,19 @@ def make_adamw(
     b1: float = 0.9,
     b2: float = 0.999,
     grad_clip: float | None = None,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW with optional clipping and gradient accumulation.
+
+    ``grad_accum_steps`` > 1 reproduces the reference's DistOptimizerHook
+    (evaluation/segmentation/hooks/optimizer.py:15-47): grads are averaged
+    over N mini-steps and the optimizer applies every N-th call (optax
+    MultiSteps; intermediate calls emit zero updates)."""
     tx = optax.adamw(
         learning_rate=schedule, b1=b1, b2=b2, weight_decay=weight_decay
     )
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

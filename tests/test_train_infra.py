@@ -93,3 +93,61 @@ class TestMetricLogger:
                 ml.update(loss=float(x))
         assert seen == list(range(7))  # n_iterations caps the stream
         assert ml.meters["loss"].count == 7
+
+
+def test_grad_accum_matches_big_batch():
+    """optax.MultiSteps in make_adamw: N accumulated mini-steps == one step
+    on the concatenated batch (DistOptimizerHook semantics,
+    evaluation/segmentation/hooks/optimizer.py:15-47)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dvt_tpu.train.optim import make_adamw
+
+    rng = np.random.default_rng(0)
+    w0 = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32))
+    xs = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    ys = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    sched = lambda step: 1e-2
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    # accumulated: 2 mini-batches of 4
+    tx = make_adamw(sched, weight_decay=0.0, grad_accum_steps=2)
+    st = tx.init(w0)
+    w = w0
+    for i in range(2):
+        g = jax.grad(loss)(w, xs[i * 4:(i + 1) * 4], ys[i * 4:(i + 1) * 4])
+        upd, st = tx.update(g, st, w)
+        w = optax.apply_updates(w, upd)
+
+    # single step on the full batch
+    tx1 = make_adamw(sched, weight_decay=0.0)
+    st1 = tx1.init(w0)
+    g = jax.grad(loss)(w0, xs, ys)
+    upd, st1 = tx1.update(g, st1, w0)
+    w1 = optax.apply_updates(w0, upd)
+
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w1),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_seg_probe_grad_accum_runs():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvt_tpu.eval.seg import SegLinearProbe
+
+    rng = np.random.default_rng(1)
+    probe = SegLinearProbe(lambda x: x, num_classes=4, grad_accum_steps=2,
+                           total_iters=10, warmup_iters=1)
+    feats = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, (2, 6, 6)).astype(np.int32))
+    state = probe.init_state(feats)
+    for _ in range(4):
+        state, m = probe.train_step(state, feats, labels)
+    assert np.isfinite(float(m["loss"]))
