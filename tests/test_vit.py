@@ -52,16 +52,34 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
         hidden = int(d * cfg.mlp_ratio)
         sd[f"{b}.norm1.weight"] = 1 + 0.1 * r(d)
         sd[f"{b}.norm1.bias"] = r(d)
-        sd[f"{b}.attn.qkv.weight"] = r(3 * d, d)
-        sd[f"{b}.attn.qkv.bias"] = r(3 * d)
+        if cfg.eva_arch:
+            # EVA02: separate q/k/v (k bias-less), SwiGLU w/ inner LN
+            sd[f"{b}.attn.q_proj.weight"] = r(d, d)
+            sd[f"{b}.attn.q_proj.bias"] = r(d)
+            sd[f"{b}.attn.k_proj.weight"] = r(d, d)
+            sd[f"{b}.attn.v_proj.weight"] = r(d, d)
+            sd[f"{b}.attn.v_proj.bias"] = r(d)
+        else:
+            sd[f"{b}.attn.qkv.weight"] = r(3 * d, d)
+            sd[f"{b}.attn.qkv.bias"] = r(3 * d)
         sd[f"{b}.attn.proj.weight"] = r(d, d)
         sd[f"{b}.attn.proj.bias"] = r(d)
         sd[f"{b}.norm2.weight"] = 1 + 0.1 * r(d)
         sd[f"{b}.norm2.bias"] = r(d)
-        sd[f"{b}.mlp.fc1.weight"] = r(hidden, d)
-        sd[f"{b}.mlp.fc1.bias"] = r(hidden)
-        sd[f"{b}.mlp.fc2.weight"] = r(d, hidden)
-        sd[f"{b}.mlp.fc2.bias"] = r(hidden and d)
+        if cfg.eva_arch:
+            sd[f"{b}.mlp.fc1_g.weight"] = r(hidden, d)
+            sd[f"{b}.mlp.fc1_g.bias"] = r(hidden)
+            sd[f"{b}.mlp.fc1_x.weight"] = r(hidden, d)
+            sd[f"{b}.mlp.fc1_x.bias"] = r(hidden)
+            sd[f"{b}.mlp.norm.weight"] = 1 + 0.1 * r(hidden)
+            sd[f"{b}.mlp.norm.bias"] = r(hidden)
+            sd[f"{b}.mlp.fc2.weight"] = r(d, hidden)
+            sd[f"{b}.mlp.fc2.bias"] = r(d)
+        else:
+            sd[f"{b}.mlp.fc1.weight"] = r(hidden, d)
+            sd[f"{b}.mlp.fc1.bias"] = r(hidden)
+            sd[f"{b}.mlp.fc2.weight"] = r(d, hidden)
+            sd[f"{b}.mlp.fc2.bias"] = r(hidden and d)
         if cfg.init_values is not None:
             sd[f"{b}.ls1.gamma"] = cfg.init_values * torch.ones(d)
             sd[f"{b}.ls2.gamma"] = cfg.init_values * torch.ones(d)
@@ -71,6 +89,33 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
     sd["norm.weight"] = 1 + 0.1 * r(cfg.embed_dim)
     sd["norm.bias"] = r(cfg.embed_dim)
     return sd
+
+
+def torch_rope_tables(gh, gw, head_dim, ref_shape, temperature=10000.0):
+    """Independent torch build of the axial rotary tables (timm
+    RotaryEmbeddingCat convention: head_dim//4 bands/axis, [y, x] concat,
+    each angle repeated twice, interleaved-pair rotation)."""
+    bands = head_dim // 4
+    inv = 1.0 / temperature ** (torch.arange(bands, dtype=torch.float64) * 4.0 / head_dim)
+    ys = torch.arange(gh, dtype=torch.float64)
+    xs = torch.arange(gw, dtype=torch.float64)
+    if ref_shape is not None:
+        ys = ys / max(gh, 1) * ref_shape[0]
+        xs = xs / max(gw, 1) * ref_shape[1]
+    ay = (ys[:, None] * inv)[:, None, :].expand(gh, gw, bands)
+    ax = (xs[:, None] * inv)[None, :, :].expand(gh, gw, bands)
+    ang = torch.cat([ay, ax], -1).reshape(gh * gw, 2 * bands)
+    ang = ang.repeat_interleave(2, dim=-1).float()
+    return ang.sin(), ang.cos()
+
+
+def torch_apply_rope(t, sin, cos, n_prefix):
+    """t: (B, heads, N, head_dim); rotate spatial tokens only."""
+    prefix, sp = t[:, :, :n_prefix], t[:, :, n_prefix:]
+    x1, x2 = sp[..., 0::2], sp[..., 1::2]
+    rot = torch.stack([-x2, x1], dim=-1).reshape(sp.shape)
+    sp = sp * cos + rot * sin
+    return torch.cat([prefix, sp], dim=2)
 
 
 def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
@@ -120,27 +165,54 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
             return t * torch.sigmoid(1.702 * t)
         return F.gelu(t)
 
+    rope = None
+    if cfg.eva_arch and cfg.use_rope:
+        rope = torch_rope_tables(gh, gw, c // cfg.num_heads,
+                                 cfg.rope_ref_feat_shape)
+
     taps = {}
     for i in range(cfg.depth):
         bk = f"blocks.{i}"
         y = ln(x, f"{bk}.norm1.weight", f"{bk}.norm1.bias")
-        qkv = F.linear(y, sd[f"{bk}.attn.qkv.weight"], sd[f"{bk}.attn.qkv.bias"])
-        q, k, v = qkv.chunk(3, dim=-1)
         nh = cfg.num_heads
 
         def heads(t):
             return t.view(b, -1, nh, c // nh).transpose(1, 2)
 
-        att = F.scaled_dot_product_attention(heads(q), heads(k), heads(v))
+        if cfg.eva_arch:
+            q = F.linear(y, sd[f"{bk}.attn.q_proj.weight"],
+                         sd[f"{bk}.attn.q_proj.bias"])
+            k = F.linear(y, sd[f"{bk}.attn.k_proj.weight"])
+            v = F.linear(y, sd[f"{bk}.attn.v_proj.weight"],
+                         sd[f"{bk}.attn.v_proj.bias"])
+        else:
+            qkv = F.linear(y, sd[f"{bk}.attn.qkv.weight"],
+                           sd[f"{bk}.attn.qkv.bias"])
+            q, k, v = qkv.chunk(3, dim=-1)
+        q, k, v = heads(q), heads(k), heads(v)
+        if rope is not None:
+            sin, cos = rope
+            q = torch_apply_rope(q, sin, cos, n_prefix)
+            k = torch_apply_rope(k, sin, cos, n_prefix)
+
+        att = F.scaled_dot_product_attention(q, k, v)
         att = att.transpose(1, 2).reshape(b, -1, c)
         att = F.linear(att, sd[f"{bk}.attn.proj.weight"], sd[f"{bk}.attn.proj.bias"])
         if cfg.init_values is not None:
             att = att * sd[f"{bk}.ls1.gamma"]
         x = x + att
         y = ln(x, f"{bk}.norm2.weight", f"{bk}.norm2.bias")
-        y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
-        y = act(y)
-        y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
+        if cfg.eva_arch:
+            g = F.linear(y, sd[f"{bk}.mlp.fc1_g.weight"], sd[f"{bk}.mlp.fc1_g.bias"])
+            h2 = F.linear(y, sd[f"{bk}.mlp.fc1_x.weight"], sd[f"{bk}.mlp.fc1_x.bias"])
+            y = F.silu(g) * h2
+            y = F.layer_norm(y, (y.shape[-1],), sd[f"{bk}.mlp.norm.weight"],
+                             sd[f"{bk}.mlp.norm.bias"], eps=cfg.norm_eps)
+            y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
+        else:
+            y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
+            y = act(y)
+            y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
         if cfg.init_values is not None:
             y = y * sd[f"{bk}.ls2.gamma"]
         x = x + y
@@ -164,6 +236,11 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         (dict(reg_tokens=4, no_embed_class=True), 4),  # register tokens
         (dict(class_token=False, no_embed_class=True), 8),  # pure spatial
         (dict(pre_norm=True, act="quick_gelu", norm_eps=1e-5), 4),  # CLIP-style
+        # EVA02: separate qkv + SwiGLU w/ inner LN, rope off / on, incl.
+        # the stride-override (ref-shape-scaled rope) case
+        (dict(eva_arch=True, use_rope=False, mlp_ratio=8 / 3), 8),
+        (dict(eva_arch=True, rope_ref_feat_shape=(4, 4), mlp_ratio=8 / 3), 8),
+        (dict(eva_arch=True, rope_ref_feat_shape=(4, 4), mlp_ratio=8 / 3), 4),
     ],
 )
 def test_forward_matches_torch_oracle(cfg_kw, stride):
@@ -227,3 +304,41 @@ def test_normalization_stats_match_reference_families():
     assert reg.reg_tokens == 4 and reg.no_embed_class
     augreg = get_model_config("vit_base_patch16_384.augreg_in21k_ft_in1k")
     assert augreg.mean == (0.5, 0.5, 0.5)
+
+
+def test_rope_relative_position_property():
+    """Axial rope: q-k inner products depend only on the positional OFFSET
+    along each axis (the property that makes rotary embeddings work).
+    Checked directly on ops exported by models.vit."""
+    from dvt_tpu.models.vit import _apply_rope, _rope_angles
+
+    gh = gw = 6
+    hd = 16
+    sin, cos = _rope_angles((gh, gw), hd, None)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, gh * gw, 1, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, gh * gw, 1, hd)).astype(np.float32))
+    # use the SAME base vectors at every position: scores must then be a
+    # function of the offset only
+    qb = jnp.broadcast_to(q[:, :1], q.shape)
+    kb = jnp.broadcast_to(k[:, :1], k.shape)
+    qr = np.asarray(_apply_rope(qb, sin, cos, 0))[0, :, 0]
+    kr = np.asarray(_apply_rope(kb, sin, cos, 0))[0, :, 0]
+
+    def pos(y, x):
+        return y * gw + x
+
+    # same x-offset, different absolute x (same row)
+    s1 = qr[pos(2, 1)] @ kr[pos(2, 3)]
+    s2 = qr[pos(2, 2)] @ kr[pos(2, 4)]
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    # same y-offset, different absolute y (same column)
+    s3 = qr[pos(1, 3)] @ kr[pos(4, 3)]
+    s4 = qr[pos(2, 3)] @ kr[pos(5, 3)]
+    np.testing.assert_allclose(s3, s4, rtol=1e-5)
+    # rotation preserves norms
+    np.testing.assert_allclose(
+        np.linalg.norm(qr, axis=-1),
+        np.full(gh * gw, np.linalg.norm(np.asarray(q[0, 0, 0]))),
+        rtol=1e-5,
+    )
