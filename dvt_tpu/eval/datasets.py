@@ -332,3 +332,65 @@ class SegFeatureDataset:
         if self.label_size is not None and lab.shape != tuple(self.label_size):
             lab = _nearest_resize_u8(lab, tuple(self.label_size))
         return {"feature": feat, "label": lab.astype(np.int32)}
+
+
+class CustomDepthDataset:
+    """Directory-layout depth dataset (reference
+    evaluation/depth/datasets/custom.py:24-120): ``data_root/rgb/*`` images
+    paired positionally with ``data_root/depth/*`` maps (sorted order);
+    test mode lists images only. Depth pngs are divided by ``depth_scale``.
+    No eigen crop - metrics use the full (min_depth, max_depth) mask."""
+
+    def __init__(self, data_root: str, train: bool = False,
+                 crop_size: Tuple[int, int] = (416, 544),
+                 depth_scale: float = 1.0, min_depth: float = 1e-3,
+                 max_depth: float = 10.0, seed: int = 0):
+        self.data_root = data_root
+        self.train = train
+        self.crop_size = crop_size
+        self.depth_scale = depth_scale
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.rng = np.random.default_rng(seed)
+        imgs = sorted(os.listdir(os.path.join(data_root, "rgb")))
+        if train:
+            depths = sorted(os.listdir(os.path.join(data_root, "depth")))
+            self.items = list(zip(imgs, depths))
+        else:
+            depth_dir = os.path.join(data_root, "depth")
+            have = set(os.listdir(depth_dir)) if os.path.isdir(depth_dir) else set()
+            self.items = [
+                (im, im if im in have else None) for im in imgs
+            ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        img_n, dep_n = self.items[index]
+        img = load_image(
+            os.path.join(self.data_root, "rgb", img_n)
+        ).astype(np.float32)
+        depth = None
+        if dep_n is not None:
+            depth = _load_label(os.path.join(self.data_root, "depth", dep_n))
+            depth = depth.astype(np.float32) / self.depth_scale
+        if not self.train:
+            out = {"image": ((img - SEG_MEAN) / SEG_STD).astype(np.float32)}
+            if depth is not None:
+                out["depth"] = depth
+            return out
+        ch, cw = self.crop_size
+        h, w = img.shape[:2]
+        y0 = self.rng.integers(max(h - ch, 0) + 1)
+        x0 = self.rng.integers(max(w - cw, 0) + 1)
+        img = img[y0:y0 + ch, x0:x0 + cw]
+        depth = depth[y0:y0 + ch, x0:x0 + cw]
+        if self.rng.random() < 0.5:
+            img = img[:, ::-1]
+            depth = depth[:, ::-1]
+        img = (img - SEG_MEAN) / SEG_STD
+        return {
+            "image": np.ascontiguousarray(img, np.float32),
+            "depth": np.ascontiguousarray(depth, np.float32),
+        }

@@ -121,3 +121,35 @@ class TestNYUDataset:
         item = ds[0]
         assert item["image"].shape == (480, 640, 3)
         assert item["depth"].shape == (480, 640)
+
+
+def test_custom_depth_dataset(tmp_path):
+    """CustomDepthDataset: rgb/ + depth/ directory pairing (custom.py:24-120)."""
+    import numpy as np
+    from PIL import Image
+
+    from dvt_tpu.eval.datasets import CustomDepthDataset
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8).astype(np.uint8)
+        ).save(tmp_path / "rgb" / f"{i}.png")
+        Image.fromarray(
+            rng.integers(0, 5000, (40, 50), dtype=np.int32).astype(np.int32)
+        ).save(tmp_path / "depth" / f"{i}.png")
+
+    ds = CustomDepthDataset(str(tmp_path), train=True, crop_size=(32, 32),
+                            depth_scale=1000.0)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["depth"].shape == (32, 32)
+    assert item["depth"].max() <= 5.0  # scaled to meters
+
+    ds_val = CustomDepthDataset(str(tmp_path), train=False)
+    item = ds_val[1]
+    assert item["image"].shape == (40, 50, 3)
+    assert "depth" in item
