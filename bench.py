@@ -85,6 +85,8 @@ def main():
     n_images = int(os.environ.get("BENCH_IMAGES", "2"))
     num_views = int(os.environ.get("BENCH_VIEWS", "32" if fast else "768"))
     num_iters = int(os.environ.get("BENCH_ITERS", "200" if fast else "1000"))
+    sweep_every = int(os.environ.get("BENCH_SWEEP", "16"))
+    num_iters = max(num_iters // sweep_every, 1) * sweep_every
     scale = FULL_ITERS / num_iters
 
     # Tuned TPU-native config: stochastic corner sampling on the fine
@@ -93,6 +95,10 @@ def main():
     # between the two fits 0.9968 mean - see PLAN.md round-2 notes).
     # BENCH_STOCH=0 benchmarks the reference-exact bilinear path.
     stochastic = os.environ.get("BENCH_STOCH", "1") == "1"
+    # Deferred table sweep (stage1.py table_sweep_every): dense Adam over the
+    # hash table once every K steps on accumulated row grads. K=16 measured
+    # ~1.2x on the fit step and quality-validated at the full 25k-iter
+    # workload (PLAN.md round-2 notes). BENCH_SWEEP=1 for per-step sweeps.
     engine = Stage1Engine(
         model_identifier="vit_base_patch14_dinov2.lvd142m",
         stride=14,
@@ -102,6 +108,7 @@ def main():
         images_per_batch=n_images,
         optimizer_impl=os.environ.get("BENCH_OPT", "fused"),
         stochastic_corners=stochastic,
+        table_sweep_every=sweep_every,
     )
 
     img_path = find_demo_image()
@@ -143,6 +150,7 @@ def main():
     # ---- fit: warm once (compile), then time; chunked dispatches keep
     # each device program under tunnel watchdog limits ----
     chunk = int(os.environ.get("BENCH_CHUNK", "1000"))
+    chunk = max(chunk // sweep_every, 1) * sweep_every  # sweep-aligned
     keys = jax.random.split(jax.random.PRNGKey(0), n_images)
     den, metrics = fit_image_batch_chunked(
         keys, raw_b, crd_b, engine.cfg, chunk
@@ -172,6 +180,7 @@ def main():
                     "num_views": num_views,
                     "measured_iters": num_iters,
                     "stochastic_corners": stochastic,
+                    "table_sweep_every": sweep_every,
                     "optimizer_impl": engine.optimizer_impl,
                     "reported_for_iters": FULL_ITERS,
                     "extract_s": round(t_extract, 2),

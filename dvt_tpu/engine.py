@@ -59,12 +59,21 @@ class Stage1Engine:
     optimizer_impl: str = "fused"  # "fused" Pallas Adam | "optax" oracle
     matmul_level_threshold: int = 4096  # one-hot-matmul levels cutoff
     stochastic_corners: bool = False  # 1-corner sampling on gather levels
+    table_sweep_every: int = 1  # K-step deferred hash-table Adam sweep
     vit_dtype: str = "bfloat16"
     vit_params: Optional[dict] = None
     checkpoint_path: Optional[str] = None
     seed: int = 0
 
     def __post_init__(self):
+        k = self.table_sweep_every
+        if k > 1:
+            if self.num_iters % k:
+                raise ValueError(
+                    f"num_iters={self.num_iters} must be divisible by "
+                    f"table_sweep_every={k}")
+            # chunk boundaries must land on sweep boundaries
+            self.fit_chunk_iters -= self.fit_chunk_iters % k
         self.vit = ViTWrapper(
             self.model_identifier,
             stride=self.stride,
@@ -91,6 +100,7 @@ class Stage1Engine:
             optimizer_impl=self.optimizer_impl,
             matmul_level_threshold=self.matmul_level_threshold,
             stochastic_corners=self.stochastic_corners,
+            table_sweep_every=self.table_sweep_every,
         )
         self.pipeline = SingleImagePipeline(
             size=self.input_size,

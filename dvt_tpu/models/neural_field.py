@@ -39,7 +39,21 @@ class NeuralFeatureField(nn.Module):
     spec: HashGridSpec = HashGridSpec()
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so ``from_encoding`` can run the MLP
+        # on an externally computed encoding - the deferred-sweep fit path
+        # (stage1.py) gathers the table rows outside the differentiated
+        # function. Param names ("table", "mlp_0", "mlp_2") are unchanged.
+        self.table = self.param(
+            "table",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, minval=-1e-4, maxval=1e-4
+            ),
+            (self.spec.padded_entries, self.spec.n_features),
+        )
+        self.mlp_0 = nn.Dense(self.feat_dim // 2, dtype=self.dtype)
+        self.mlp_2 = nn.Dense(self.feat_dim, dtype=self.dtype)
+
     def __call__(self, coords: jax.Array,
                  corner_key: jax.Array | None = None) -> jax.Array:
         """coords (..., 2) in [0, 1] -> (..., feat_dim) features.
@@ -47,15 +61,13 @@ class NeuralFeatureField(nn.Module):
         ``corner_key`` enables stochastic corner sampling in the encoding
         (training-time variance/bandwidth trade, see ops/hash_encoding.py).
         """
-        table = self.param(
-            "table",
-            lambda key, shape: jax.random.uniform(
-                key, shape, jnp.float32, minval=-1e-4, maxval=1e-4
-            ),
-            (self.spec.padded_entries, self.spec.n_features),
-        )
-        enc = hash_encode(table, coords, self.spec, corner_key).astype(self.dtype)
-        x = nn.Dense(self.feat_dim // 2, dtype=self.dtype, name="mlp_0")(enc)
+        enc = hash_encode(
+            self.table, coords, self.spec, corner_key
+        ).astype(self.dtype)
+        return self.from_encoding(enc)
+
+    def from_encoding(self, enc: jax.Array) -> jax.Array:
+        """MLP head only: (..., n_output_dims) encoding -> (..., feat_dim)."""
+        x = self.mlp_0(enc.astype(self.dtype))
         x = nn.relu(x)
-        x = nn.Dense(self.feat_dim, dtype=self.dtype, name="mlp_2")(x)
-        return x
+        return self.mlp_2(x)

@@ -110,6 +110,18 @@ class HashGridSpec:
     def n_output_dims(self) -> int:
         return self.n_levels * self.n_features
 
+    @property
+    def coarse_entries(self) -> int:
+        """Rows taken by the matmul-path (coarse) levels. Level sizes are
+        nondecreasing, so these levels are a contiguous table PREFIX - the
+        deferred-sweep fit path (stage1.py) exploits this to treat
+        ``table[:coarse_entries]`` as one dense-gradient block."""
+        n = 0
+        for s in self.level_sizes:
+            if 0 < s <= self.matmul_level_threshold:
+                n += s
+        return n
+
 
 def init_hash_table(
     key: jax.Array, spec: HashGridSpec, dtype=jnp.float32
@@ -221,4 +233,118 @@ def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec,
 
     outs.sort(key=lambda t: t[0])
     out = jnp.stack([o for _, o in outs], axis=1)  # (N, L, F)
+    return out.reshape(*batch_shape, spec.n_output_dims)
+
+
+# ---------------------------------------------------------------------------
+# Split encode: plan -> gather -> apply.
+#
+# The stage-1 deferred-sweep optimizer (stage1.py, table_sweep_every > 1)
+# needs the table access factored OUT of the differentiable computation so
+# the table gradient exists as sparse (row index, row value) pairs instead of
+# a dense scatter per step: K steps of row gradients are collected, then ONE
+# dense scatter + ONE fused-Adam sweep runs per K steps, amortizing the
+# table-sized HBM passes (the sweep is ~1/3 of the measured step cost,
+# PLAN.md). hash_plan/hash_gather_rows/hash_encode_from compose to exactly
+# hash_encode (equivalence-tested, incl. bit-identical stochastic corner
+# draws: both paths fold the same key into the same-shape uniform draw).
+# ---------------------------------------------------------------------------
+
+
+def hash_plan(coords: jax.Array, spec: HashGridSpec,
+              corner_key: jax.Array | None = None) -> dict:
+    """Index/weight plan for one batch of lookups; no table access.
+
+    Returns a dict of arrays (a valid scan/vmap pytree):
+      coarse_idx: (N, Lc, 4) within-prefix indices of the matmul levels
+      coarse_w:   (N, Lc, 4) bilinear weights
+      fine_idx:   (N, Lg, 4) absolute table rows of the gather levels,
+                  or (N, Lg, 1) when ``corner_key`` samples one corner
+      fine_w:     (N, Lg, 4) weights, or (N, Lg, 1) ones (stochastic)
+    Lc/Lg and the per-level slot order are static properties of ``spec``.
+    """
+    flat = coords.reshape(-1, 2).astype(jnp.float32)
+    coarse_idx, coarse_w, fine_idx, fine_w = [], [], [], []
+    for res, size, off in zip(
+        spec.resolutions, spec.level_sizes, spec.level_offsets
+    ):
+        idx, w = _level_indices_weights(flat, res, size)
+        if 0 < size <= spec.matmul_level_threshold:
+            coarse_idx.append(idx + off)  # prefix rows: off is within prefix
+            coarse_w.append(w)
+        else:
+            fine_idx.append(idx + off)
+            fine_w.append(w)
+
+    plan = {}
+    if coarse_idx:
+        plan["coarse_idx"] = jnp.stack(coarse_idx, axis=1)
+        plan["coarse_w"] = jnp.stack(coarse_w, axis=1)
+    if fine_idx:
+        idx = jnp.stack(fine_idx, axis=1)  # (N, Lg, 4)
+        w = jnp.stack(fine_w, axis=1)
+        if corner_key is not None:
+            # identical draw to hash_encode's stochastic path
+            u = jax.random.uniform(corner_key, idx.shape[:2])
+            cdf = jnp.cumsum(w, axis=-1)
+            sel = jnp.sum((u[..., None] > cdf).astype(jnp.int32), axis=-1)
+            sel = jnp.minimum(sel, 3)
+            idx = jnp.take_along_axis(idx, sel[..., None], axis=-1)  # (N,Lg,1)
+            w = jnp.ones_like(idx, dtype=w.dtype)
+        plan["fine_idx"] = idx
+        plan["fine_w"] = w
+    return plan
+
+
+def hash_gather_rows(table: jax.Array, plan: dict) -> jax.Array:
+    """Gather the fine-level corner rows: (N, Lg, C, F), C in {1, 4}.
+
+    Call OUTSIDE the differentiated function; pass the result into
+    ``hash_encode_from`` as a differentiable argument, so d(loss)/d(rows)
+    comes out of autodiff as dense row values ready for a batched
+    scatter-add into the table gradient."""
+    return jnp.take(table, plan["fine_idx"], axis=0)
+
+
+def _coarse_slots_fine_slots(spec: HashGridSpec):
+    coarse, fine = [], []
+    for l, size in enumerate(spec.level_sizes):
+        (coarse if 0 < size <= spec.matmul_level_threshold else fine).append(l)
+    return coarse, fine
+
+
+def hash_encode_from(coarse_prefix: jax.Array, fine_rows: jax.Array | None,
+                     plan: dict, spec: HashGridSpec,
+                     batch_shape=()) -> jax.Array:
+    """Encoding from pre-gathered pieces; differentiable in both table args.
+
+    coarse_prefix: (spec.coarse_entries, F) - the dense prefix of the table
+      (matmul levels). Its VJP is a dense (coarse_entries, F) gradient.
+    fine_rows: (N, Lg, C, F) from ``hash_gather_rows`` (or None when every
+      level is a matmul level). Its VJP is per-row gradients aligned with
+      plan["fine_idx"].
+    """
+    outs = []
+    coarse_slots, fine_slots = _coarse_slots_fine_slots(spec)
+    if coarse_slots:
+        idx, w = plan["coarse_idx"], plan["coarse_w"]
+        dtype = coarse_prefix.dtype
+        # per-level one-hot matmuls, same shapes/flops as hash_encode
+        for k, l in enumerate(coarse_slots):
+            size = spec.level_sizes[l]
+            off = spec.level_offsets[l]
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+            sel_l = (idx[:, k][:, :, None] == (iota_l + off)).astype(dtype)
+            smat_l = jnp.einsum("nc,ncj->nj", w[:, k].astype(dtype), sel_l)
+            level_tab = jax.lax.dynamic_slice_in_dim(
+                coarse_prefix, off, size, axis=0
+            )
+            outs.append((l, smat_l @ level_tab))
+    if fine_slots:
+        w = plan["fine_w"][..., None].astype(fine_rows.dtype)
+        fine_out = jnp.sum(fine_rows * w, axis=2)  # (N, Lg, F)
+        for k, l in enumerate(fine_slots):
+            outs.append((l, fine_out[:, k]))
+    outs.sort(key=lambda t: t[0])
+    out = jnp.stack([o for _, o in outs], axis=1)
     return out.reshape(*batch_shape, spec.n_output_dims)

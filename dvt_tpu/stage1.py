@@ -77,6 +77,26 @@ class Stage1Config:
     # on the gather-path levels (unbiased; 4x fewer scatter rows). Export
     # and eval always use exact blending.
     stochastic_corners: bool = False
+    # Deferred table sweep: run the dense Adam sweep over the hash table
+    # (a table-sized HBM pass, ~1/3 of the measured step cost - PLAN.md)
+    # once every K steps, on the SUM of the K steps' sparse row gradients
+    # (collected as (row, value) pairs; no dense grad materializes in
+    # between). The small leaves (field MLP, artifact map, residual MLP)
+    # keep exact per-step Adam. K=1 is numerically the standard fused path
+    # (equivalence-tested). Requires optimizer_impl "fused"/"pallas" and
+    # chunk lengths divisible by K.
+    table_sweep_every: int = 1
+    # lr multiplier for the deferred table sweeps. Adam's step size is
+    # invariant to gradient scale, so K accumulated steps move the table
+    # ~1/K as far per wall-clock step; K compensates (one big step
+    # integrating K unit steps). Quality-validated on device (PLAN.md).
+    table_sweep_lr_scale: float | None = None  # None -> table_sweep_every
+
+    @property
+    def sweep_lr_scale(self) -> float:
+        if self.table_sweep_lr_scale is None:
+            return float(self.table_sweep_every)
+        return self.table_sweep_lr_scale
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -249,15 +269,16 @@ def init_fit(key: Array, cfg: Stage1Config):
     return params, opt_state
 
 
-def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
-             artifact_flat_idx, phase2, corner_key=None):
-    """One minibatch loss. ``raw``: (B, C); ``global_coords``: (B, 2) in [0,1];
-    ``artifact_flat_idx``: (B,) position of each pixel within its view grid."""
-    denoised = field.apply({"params": params["field"]}, global_coords,
-                           corner_key)
+def _denoiser_losses(dparams, cfg: Stage1Config, denoised, raw,
+                     artifact_flat_idx, phase2):
+    """Loss arithmetic of SingleImageDenoiser.__call__ given the field output.
 
-    # G at exact grid points == direct gather (see module docstring)
-    g = params["denoiser"]["shared_artifacts"].reshape(-1, cfg.feat_dim)
+    ``dparams``: the denoiser param subtree (shared_artifacts + residual MLP);
+    ``denoised``: (B, C) field prediction at the minibatch coords;
+    ``raw``: (B, C); ``artifact_flat_idx``: (B,) pixel position within its
+    view grid (G is sampled at exact grid points == gather, module docstring).
+    """
+    g = dparams["shared_artifacts"].reshape(-1, cfg.feat_dim)
     shared = g[artifact_flat_idx].astype(raw.dtype)
 
     d = SingleImageDenoiser(
@@ -268,32 +289,188 @@ def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
         dtype=cfg.compute_dtype,
     )
 
-    # inline the loss arithmetic of SingleImageDenoiser.__call__ but reuse the
-    # gathered shared term; residual MLP params come from the same pytree
-    def apply_losses(dp):
-        use_res = cfg.enable_residual_predictor
-        gate = jnp.asarray(phase2, raw.dtype)
-        if use_res:
-            res = d.apply(
-                {"params": dp}, raw, method=lambda m, x: m._residual(x)
-            )
-        pred = denoised + shared
-        if use_res:
-            pred = pred + gate * jax.lax.stop_gradient(res)
-        patch_l2 = jnp.mean((pred - raw) ** 2)
-        cos = 1.0 - jnp.mean(cosine_similarity(pred, raw))
-        loss = patch_l2 + cos
-        metrics = {"patch_l2_loss": patch_l2, "cosine_similarity_loss": cos}
-        if use_res:
-            gt_res = jax.lax.stop_gradient(raw - denoised - shared)
-            res_loss = 0.1 * jnp.mean((res - gt_res) ** 2)
-            sparsity = 0.02 * jnp.mean(jnp.abs(res))
-            loss = loss + gate * (res_loss + sparsity)
-            metrics["residual_loss"] = res_loss
-        metrics["loss"] = loss
-        return loss, metrics
+    use_res = cfg.enable_residual_predictor
+    gate = jnp.asarray(phase2, raw.dtype)
+    if use_res:
+        res = d.apply(
+            {"params": dparams}, raw, method=lambda m, x: m._residual(x)
+        )
+    pred = denoised + shared
+    if use_res:
+        pred = pred + gate * jax.lax.stop_gradient(res)
+    patch_l2 = jnp.mean((pred - raw) ** 2)
+    cos = 1.0 - jnp.mean(cosine_similarity(pred, raw))
+    loss = patch_l2 + cos
+    metrics = {"patch_l2_loss": patch_l2, "cosine_similarity_loss": cos}
+    if use_res:
+        gt_res = jax.lax.stop_gradient(raw - denoised - shared)
+        res_loss = 0.1 * jnp.mean((res - gt_res) ** 2)
+        sparsity = 0.02 * jnp.mean(jnp.abs(res))
+        loss = loss + gate * (res_loss + sparsity)
+        metrics["residual_loss"] = res_loss
+    metrics["loss"] = loss
+    return loss, metrics
 
-    return apply_losses(params["denoiser"])
+
+def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
+             artifact_flat_idx, phase2, corner_key=None):
+    """One minibatch loss. ``raw``: (B, C); ``global_coords``: (B, 2) in [0,1];
+    ``artifact_flat_idx``: (B,) position of each pixel within its view grid."""
+    denoised = field.apply({"params": params["field"]}, global_coords,
+                           corner_key)
+    return _denoiser_losses(params["denoiser"], cfg, denoised, raw,
+                            artifact_flat_idx, phase2)
+
+
+def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
+                   cfg: Stage1Config, start, length: int):
+    """``_scan_single`` with the hash-table Adam sweep deferred K steps.
+
+    Per sub-step, only the small leaves (field MLP, artifact map, residual
+    MLP) get their exact per-step fused Adam; the table's row gradients are
+    kept as (index, value) pairs (gather happens outside the differentiated
+    function via ops.hash_encoding.hash_plan/hash_gather_rows, so autodiff
+    emits per-row cotangents instead of a dense scatter). Every K steps ONE
+    batched scatter-add + ONE dense Adam sweep applies them, with
+    lr * cfg.sweep_lr_scale (default K: Adam's step size is scale-invariant
+    in the gradient, so one sweep integrating K accumulated steps moves the
+    table ~K * lr). At K=1 this is numerically the standard fused path
+    (equivalence-tested in tests/test_stage1.py).
+
+    Motivation (PLAN.md round-2 profile): the dense sweep over the 77 MB
+    table + moments is ~1/3 of the 3 ms step; deferring it amortizes all
+    table-sized HBM passes by K while the row-count-bound gather/scatter
+    (irreducible in XLA) and the small-leaf updates stay exact.
+    """
+    from dvt_tpu.ops.fused_adam import fused_adam_update, fused_adam_update_xla
+    from dvt_tpu.ops.hash_encoding import (
+        hash_encode_from,
+        hash_gather_rows,
+        hash_plan,
+    )
+
+    K = cfg.table_sweep_every
+    if length % K:
+        raise ValueError(
+            f"scan length {length} must be divisible by table_sweep_every={K}"
+        )
+    denoiser, field = cfg.modules()
+    spec = field.spec
+    hw = cfg.noise_map_height * cfg.noise_map_width
+    pool = cfg.pool_size
+    freeze_after = int(cfg.freeze_shared_artifacts_after * cfg.num_iters)
+    coarse_n = spec.coarse_entries
+    has_fine = coarse_n < spec.total_entries
+    adam1 = (fused_adam_update
+             if (cfg.optimizer_impl == "pallas"
+                 and jax.default_backend() == "tpu")
+             else fused_adam_update_xla)
+
+    table0 = params["field"]["table"]
+    split = lambda t: (
+        {"denoiser": t["denoiser"],
+         "field_mlp": {k: v for k, v in t["field"].items() if k != "table"}}
+    )
+    small0 = split(params)
+    mu_t0, nu_t0 = opt_state["mu"]["field"]["table"], opt_state["nu"]["field"]["table"]
+    mu_s0, nu_s0 = split(opt_state["mu"]), split(opt_state["nu"])
+
+    def super_step(carry, super_i):
+        table, mu_t, nu_t, small, mu_s, nu_s = carry
+        coarse_prefix = jax.lax.slice_in_dim(table, 0, max(coarse_n, 1),
+                                             axis=0)
+
+        def sub_step(c2, k):
+            small, mu_s, nu_s, acc_coarse = c2
+            step = start + super_i * K + k
+            phase2 = step > freeze_after
+            skey = jax.random.fold_in(loop_key, step)
+            idx = jax.random.randint(skey, (cfg.pixel_bsz,), 0, pool)
+            raw = raw_flat[idx].astype(cfg.compute_dtype)
+            coords = coords_flat[idx]
+            art_idx = idx % hw
+            corner_key = (jax.random.fold_in(skey, 1)
+                          if cfg.stochastic_corners else None)
+
+            plan = hash_plan(coords, spec, corner_key)
+            fine_rows = (hash_gather_rows(table, plan) if has_fine
+                         else jnp.zeros((cfg.pixel_bsz, 0, 1, spec.n_features),
+                                        table.dtype))
+
+            def loss_fn(small_p, cp, fr):
+                enc = hash_encode_from(
+                    cp if coarse_n else cp[:0],
+                    fr if has_fine else None,
+                    plan, spec, batch_shape=(cfg.pixel_bsz,),
+                )
+                fp = {**small_p["field_mlp"], "table": table}
+                denoised = field.apply(
+                    {"params": fp}, enc, method="from_encoding"
+                )
+                return _denoiser_losses(small_p["denoiser"], cfg, denoised,
+                                        raw, art_idx, phase2)
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(small, coarse_prefix, fine_rows)
+            g_small, g_coarse, g_fine = grads
+
+            # phase 2 freezes the shared artifact map (torch-exact: param AND
+            # moments untouched)
+            g_art = g_small["denoiser"]["shared_artifacts"]
+            g_small["denoiser"]["shared_artifacts"] = jnp.where(
+                phase2, 0.0, g_art)
+            frozen = jax.tree.map(lambda _: False, small)
+            frozen["denoiser"]["shared_artifacts"] = phase2
+            small2, new_opt = fused_adam_apply(
+                cfg, small, g_small,
+                {"mu": mu_s, "nu": nu_s, "count": step}, step,
+                frozen_mask=frozen,
+            )
+            acc_coarse = acc_coarse + g_coarse.astype(jnp.float32)
+            return ((small2, new_opt["mu"], new_opt["nu"], acc_coarse),
+                    (plan["fine_idx"] if has_fine else None, g_fine, metrics))
+
+        acc0 = jnp.zeros((max(coarse_n, 1), spec.n_features), jnp.float32)
+        (small, mu_s, nu_s, acc_coarse), (all_idx, all_g, m_steps) = (
+            jax.lax.scan(sub_step, (small, mu_s, nu_s, acc0), jnp.arange(K))
+        )
+
+        g_table = jnp.zeros_like(table, dtype=jnp.float32)
+        if coarse_n:
+            g_table = g_table.at[:coarse_n].add(acc_coarse[:coarse_n])
+        if has_fine:
+            g_table = g_table.at[all_idx.reshape(-1)].add(
+                all_g.reshape(-1, spec.n_features).astype(jnp.float32)
+            )
+        step_last = (start + super_i * K + K - 1).astype(jnp.float32)
+        lr_t = lr_at(cfg, step_last) * cfg.sweep_lr_scale
+        t_count = start // K + super_i + 1
+        table, mu_t, nu_t = adam1(
+            table, mu_t, nu_t, g_table, lr_t, t_count,
+            b1=0.9, b2=0.99, eps=1e-15, wd=cfg.weight_decay,
+        )
+        return (table, mu_t, nu_t, small, mu_s, nu_s), m_steps
+
+    carry0 = (table0, mu_t0, nu_t0, small0, mu_s0, nu_s0)
+    (table, mu_t, nu_t, small, mu_s, nu_s), m_all = jax.lax.scan(
+        super_step, carry0, jnp.arange(length // K)
+    )
+
+    def join(small_t, table_leaf):
+        return {"denoiser": small_t["denoiser"],
+                "field": {**small_t["field_mlp"], "table": table_leaf}}
+
+    params = join(small, table)
+    opt_state = {
+        "mu": join(mu_s, mu_t),
+        "nu": join(nu_s, nu_t),
+        "count": opt_state["count"] + length,
+    }
+    step_metrics = jax.tree.map(
+        lambda a: a.reshape(length, *a.shape[2:]), m_all
+    )
+    return params, opt_state, step_metrics
 
 
 def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
@@ -304,6 +481,13 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
     25k-step loop across several dispatches (watchdog-friendly on tunneled
     dev chips) is bit-identical to one big scan.
     """
+    if cfg.table_sweep_every > 1:
+        if cfg.optimizer_impl not in ("fused", "pallas"):
+            raise ValueError(
+                "table_sweep_every > 1 requires optimizer_impl 'fused' or "
+                "'pallas'")
+        return _scan_deferred(loop_key, params, opt_state, raw_flat,
+                              coords_flat, cfg, start, length)
     denoiser, field = cfg.modules()
     hw = cfg.noise_map_height * cfg.noise_map_width
     pool = cfg.pool_size

@@ -64,6 +64,10 @@ def get_args():
     p.add_argument("--eval_interval", type=int, default=10_000)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--max_val_images", type=int, default=None)
+    p.add_argument("--save_maps", action="store_true",
+                   help="seg: write palette-painted prediction pngs to "
+                        "<work_dir>/maps/ at each eval (reference "
+                        "colormaps.py equivalents, eval/colormaps.py)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -167,6 +171,16 @@ def run_seg(args, cfg):
                     pred.astype(np.uint8), item["label"].shape
                 ).astype(np.int64)
             acc.add(pred, np.asarray(item["label"], np.int64))
+            if args.save_maps:
+                from PIL import Image
+
+                from dvt_tpu.eval.colormaps import paint_label_map, palette_for
+
+                os.makedirs(os.path.join(args.work_dir, "maps"), exist_ok=True)
+                Image.fromarray(
+                    paint_label_map(pred, palette_for(args.task))
+                ).save(os.path.join(args.work_dir, "maps",
+                                    f"iter{step}_{i:04d}.png"))
         res = acc.results()
         res["iteration"] = step
         with open(metrics_path, "a") as f:

@@ -66,6 +66,11 @@ def get_args():
                    help="sample 1 corner/level (bilinear-weight prob) on "
                         "gather levels during the fit: 4x fewer scatter "
                         "rows, unbiased")
+    p.add_argument("--table_sweep_every", type=int, default=1,
+                   help="defer the dense hash-table Adam sweep to once "
+                        "every K steps (accumulated row grads, lr x K); "
+                        "amortizes the table-sized HBM passes. 1 = exact "
+                        "reference semantics")
     args = p.parse_args()
     if isinstance(args.input_size, int):
         args.input_size = (args.input_size, args.input_size)
@@ -127,6 +132,7 @@ def main():
         optimizer_impl=args.optimizer_impl,
         matmul_level_threshold=args.matmul_level_threshold,
         stochastic_corners=args.stochastic_corners,
+        table_sweep_every=args.table_sweep_every,
     )
 
     filenames = collect_filenames(args)

@@ -258,3 +258,34 @@ class TestSegFeatureDataset:
                                   "SegmentationClass", split="split.txt",
                                   label_size=(16, 16))
         assert ds_tr[0]["label"].shape == (16, 16)
+
+
+class TestColormaps:
+    def test_voc_palette_official_values(self):
+        from dvt_tpu.eval.colormaps import paint_label_map, voc_palette
+
+        pal = voc_palette()
+        # official VOC colors (bit-interleaving generator ground truth)
+        assert tuple(pal[0]) == (0, 0, 0)          # background
+        assert tuple(pal[1]) == (128, 0, 0)        # aeroplane
+        assert tuple(pal[2]) == (0, 128, 0)        # bicycle
+        assert tuple(pal[3]) == (128, 128, 0)      # bird
+        assert tuple(pal[4]) == (0, 0, 128)        # boat
+        assert tuple(pal[15]) == (192, 128, 128)   # person
+
+        lab = np.array([[0, 1], [255, 15]], np.int64)
+        painted = paint_label_map(lab, pal)
+        assert painted.shape == (2, 2, 3)
+        assert tuple(painted[0, 1]) == (128, 0, 0)
+        assert tuple(painted[1, 0]) == (0, 0, 0)   # ignore -> black
+
+    def test_ade_palette_and_overlay(self):
+        from dvt_tpu.eval.colormaps import ade20k_palette, overlay, paint_label_map
+
+        pal = ade20k_palette()
+        assert pal.shape == (150, 3)
+        assert len({tuple(c) for c in pal}) == 150  # all distinct
+        img = np.zeros((4, 4, 3), np.uint8) + 200
+        painted = paint_label_map(np.ones((4, 4), np.int64), pal)
+        out = overlay(img, painted, alpha=0.5)
+        assert out.shape == (4, 4, 3) and out.dtype == np.uint8

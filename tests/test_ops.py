@@ -201,3 +201,53 @@ class TestHashEncoding:
         np.testing.assert_allclose(
             np.asarray(g_mm), np.asarray(g_g), atol=1e-4, rtol=1e-4
         )
+
+    @pytest.mark.parametrize("stochastic", [False, True])
+    def test_split_encode_composes_to_hash_encode(self, rng, stochastic):
+        """hash_plan + hash_gather_rows + hash_encode_from == hash_encode,
+        for the value AND the table gradient (exact and stochastic-corner
+        modes, same corner_key -> bit-identical corner draws)."""
+        from dvt_tpu.ops.hash_encoding import (
+            hash_encode_from,
+            hash_gather_rows,
+            hash_plan,
+        )
+
+        spec = HashGridSpec(n_levels=6, base_resolution=4, max_resolution=64,
+                            log2_hashmap_size=8, n_features=4,
+                            matmul_level_threshold=100)
+        assert 0 < spec.coarse_entries < spec.total_entries
+        table = jnp.asarray(
+            rng.standard_normal((spec.padded_entries, 4)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 1, size=(64, 2)), jnp.float32)
+        ckey = jax.random.PRNGKey(11) if stochastic else None
+
+        ref = hash_encode(table, coords, spec, ckey)
+
+        plan = hash_plan(coords, spec, ckey)
+        rows = hash_gather_rows(table, plan)
+        out = hash_encode_from(table[: spec.coarse_entries], rows, plan, spec,
+                               batch_shape=(64,))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+        # table gradient: dense reference vs (prefix grad + scattered rows)
+        g_ref = jax.grad(
+            lambda t: jnp.sum(hash_encode(t, coords, spec, ckey) ** 2)
+        )(table)
+
+        def split_loss(cp, fr):
+            return jnp.sum(hash_encode_from(cp, fr, plan, spec,
+                                            batch_shape=(64,)) ** 2)
+
+        g_cp, g_fr = jax.grad(split_loss, argnums=(0, 1))(
+            table[: spec.coarse_entries], rows
+        )
+        g_split = jnp.zeros_like(table)
+        g_split = g_split.at[: spec.coarse_entries].add(g_cp)
+        g_split = g_split.at[plan["fine_idx"].reshape(-1)].add(
+            g_fr.reshape(-1, spec.n_features)
+        )
+        np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -174,3 +174,121 @@ class TestFit:
             np.asarray(met_single["loss_history"]),
             atol=1e-5, rtol=1e-4,
         )
+
+
+class TestDeferredTableSweep:
+    """table_sweep_every: K-step deferred hash-table Adam (stage1.py)."""
+
+    def _run(self, cfg, n_iters, key=7):
+        from dvt_tpu.stage1 import _scan_single, init_fit
+
+        raw, coords, clean_full, _ = synth_problem(cfg, jax.random.PRNGKey(0))
+        params, opt_state = init_fit(jax.random.PRNGKey(key), cfg)
+        raw_flat = raw.reshape(cfg.pool_size, cfg.feat_dim)
+        crd_flat = coords.reshape(cfg.pool_size, 2).astype(jnp.float32)
+        run = jax.jit(
+            lambda p, o: _scan_single(
+                jax.random.PRNGKey(key + 1), p, o, raw_flat, crd_flat, cfg,
+                jnp.zeros((), jnp.int32), n_iters,
+            )
+        )
+        return run(params, opt_state), clean_full
+
+    @pytest.mark.parametrize("stochastic", [False, True])
+    def test_k1_matches_standard_fused_path(self, stochastic):
+        """K=1 deferred == the standard fused scan (same grads, same Adam)."""
+        from dvt_tpu.stage1 import _scan_deferred, init_fit
+
+        cfg1 = small_cfg(num_iters=24, warmup_iters=4, pixel_bsz=64,
+                         stochastic_corners=stochastic)
+        raw, coords, _, _ = synth_problem(cfg1, jax.random.PRNGKey(0))
+        params, opt_state = init_fit(jax.random.PRNGKey(7), cfg1)
+        raw_flat = raw.reshape(cfg1.pool_size, cfg1.feat_dim)
+        crd_flat = coords.reshape(cfg1.pool_size, 2).astype(jnp.float32)
+
+        from dvt_tpu.stage1 import _scan_single
+
+        p_std, _, m_std = jax.jit(
+            lambda p, o: _scan_single(
+                jax.random.PRNGKey(8), p, o, raw_flat, crd_flat, cfg1,
+                jnp.zeros((), jnp.int32), 24)
+        )(params, opt_state)
+
+        cfg_def = dataclass_replace(cfg1, table_sweep_every=1)
+        p_def, _, m_def = jax.jit(
+            lambda p, o: _scan_deferred(
+                jax.random.PRNGKey(8), p, o, raw_flat, crd_flat, cfg_def,
+                jnp.zeros((), jnp.int32), 24)
+        )(params, opt_state)
+
+        np.testing.assert_allclose(
+            np.asarray(m_def["loss"]), np.asarray(m_std["loss"]),
+            atol=1e-6, rtol=1e-5,
+        )
+        for path in [("field", "table"), ("field", "mlp_0", "kernel"),
+                     ("denoiser", "shared_artifacts")]:
+            a, b = p_def, p_std
+            for k in path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-4,
+                err_msg=str(path),
+            )
+
+    def test_k4_converges_like_standard(self):
+        """K=4 deferred sweeps reach comparable fit quality (lr scale K)."""
+        cfg_std = small_cfg()
+        (_, _, m_std), clean_full = self._run(cfg_std, cfg_std.num_iters)
+
+        cfg_k4 = small_cfg(table_sweep_every=4)
+        (p_k4, _, m_k4), _ = self._run(cfg_k4, cfg_k4.num_iters)
+
+        from dvt_tpu.stage1 import _export_single
+
+        raw, coords, clean_full, _ = synth_problem(
+            cfg_k4, jax.random.PRNGKey(0)
+        )
+        den_k4, _ = _export_single(p_k4, raw, cfg_k4)
+        l_std = np.asarray(m_std["loss"])[-20:].mean()
+        l_k4 = np.asarray(m_k4["loss"])[-20:].mean()
+        assert l_k4 < l_std * 1.6, (l_k4, l_std)
+        # still strips the artifact
+        err_raw = np.square(np.asarray(raw[-1]) - np.asarray(clean_full)).mean()
+        err_den = np.square(np.asarray(den_k4) - np.asarray(clean_full)).mean()
+        assert err_den < err_raw * 0.5, (err_den, err_raw)
+
+    def test_chunked_k_matches_monolithic(self):
+        """Chunk boundaries aligned to K keep the deferred fit bit-stable."""
+        from dvt_tpu.stage1 import fit_image_batch, fit_image_batch_chunked
+
+        cfg = small_cfg(num_iters=48, warmup_iters=6, pixel_bsz=64,
+                        table_sweep_every=4)
+        raw, coords, _, _ = synth_problem(cfg, jax.random.PRNGKey(3))
+        keys = jax.random.split(jax.random.PRNGKey(5), 1)
+        raw_b, crd_b = raw[None], coords[None]
+        den_a, _ = fit_image_batch(keys, raw_b, crd_b, cfg)
+        den_b, _ = fit_image_batch_chunked(keys, raw_b, crd_b, cfg,
+                                           chunk_iters=16)
+        np.testing.assert_allclose(
+            np.asarray(den_a), np.asarray(den_b), atol=2e-5, rtol=1e-4
+        )
+
+    def test_rejects_misaligned_length(self):
+        from dvt_tpu.stage1 import _scan_deferred, init_fit
+
+        cfg = small_cfg(num_iters=10, table_sweep_every=4, pixel_bsz=32)
+        raw, coords, _, _ = synth_problem(cfg, jax.random.PRNGKey(0))
+        params, opt_state = init_fit(jax.random.PRNGKey(1), cfg)
+        with pytest.raises(ValueError, match="divisible"):
+            _scan_deferred(
+                jax.random.PRNGKey(2), params, opt_state,
+                raw.reshape(cfg.pool_size, cfg.feat_dim),
+                coords.reshape(cfg.pool_size, 2), cfg,
+                jnp.zeros((), jnp.int32), 10,
+            )
+
+
+def dataclass_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)

@@ -1,4 +1,5 @@
 import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax, jax.numpy as jnp, numpy as np
@@ -10,7 +11,7 @@ raw = jax.random.normal(k, (N, V+1, h, w, C), jnp.bfloat16)
 coords = jax.random.uniform(jax.random.fold_in(k, 1), (N, V+1, h, w, 2))
 keys = jax.random.split(jax.random.PRNGKey(1), N)
 
-ITERS = 150
+ITERS = 160  # divisible by every table_sweep_every variant
 S = dict(optimizer_impl="fused", moments_dtype=jnp.bfloat16, stochastic_corners=True)
 variants = {
     "base_stoch": Stage1Config(**S),
@@ -23,6 +24,15 @@ variants = {
     "fused": Stage1Config(optimizer_impl="fused", moments_dtype=jnp.bfloat16),
     "fused_stoch": Stage1Config(**S),
     "fused_stoch_thr12k": Stage1Config(**S) ,
+    "sweep2": Stage1Config(**S, table_sweep_every=2),
+    "sweep4": Stage1Config(**S, table_sweep_every=4),
+    "sweep8": Stage1Config(**S, table_sweep_every=8),
+    "sweep4_exact": Stage1Config(optimizer_impl="fused",
+                                 moments_dtype=jnp.bfloat16,
+                                 table_sweep_every=4),
+    "sweep16": Stage1Config(**S, table_sweep_every=16),
+    "sweep32": Stage1Config(**S, table_sweep_every=32),
+    "sweep160": Stage1Config(**S, table_sweep_every=160),
 }
 sel = sys.argv[1:] or list(variants)
 states = {}
