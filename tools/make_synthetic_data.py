@@ -104,11 +104,24 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
             names[split].append(name)
         with open(os.path.join(set_dir, f"{split}.txt"), "w") as f:
             f.write("\n".join(names[split]) + "\n")
-    # stage-1 image list (relative to root, reference voc_train.txt style)
+    # stage-1 image lists (relative to root, reference voc_train.txt style)
     with open(os.path.join(root, "voc_train.txt"), "w") as f:
         f.write(
             "\n".join(f"JPEGImages/{n}.jpg" for n in names["train"]) + "\n"
         )
+    with open(os.path.join(root, "voc_all.txt"), "w") as f:
+        f.write(
+            "\n".join(f"JPEGImages/{n}.jpg"
+                      for n in names["train"] + names["val"]) + "\n"
+        )
+    # ImageFolder layout for the distillation demo (class dirs of symlinks)
+    ifroot = os.path.join(os.path.dirname(root), "imagefolder")
+    for i, n in enumerate(names["train"]):
+        d = os.path.join(ifroot, f"class{i % 3}")
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, n + ".jpg")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(img_dir, n + ".jpg"), dst)
     return names
 
 
