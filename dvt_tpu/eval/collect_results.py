@@ -40,7 +40,9 @@ def collect(work_root: str) -> Dict[str, dict]:
         os.path.join(work_root, "**", "eval_metrics.json"), recursive=True
     ):
         task_dir = os.path.relpath(os.path.dirname(log), work_root)
-        if "seg" in task_dir or "voc" in task_dir or "ade" in task_dir:
+        if "det" in task_dir:
+            entry = best_entry(log, "mAP50")
+        elif "seg" in task_dir or "voc" in task_dir or "ade" in task_dir:
             entry = best_entry(log, "mIoU")
         else:
             entry = best_entry(log, "a1")

@@ -394,3 +394,89 @@ class CustomDepthDataset:
             "image": np.ascontiguousarray(img, np.float32),
             "depth": np.ascontiguousarray(depth, np.float32),
         }
+
+
+class VOCDetectionDataset:
+    """VOC2012 detection layout: JPEGImages/ + Annotations/*.xml +
+    ImageSets/Main/<split>.txt.
+
+    Counterpart of the mmdet VOC dataset the reference's ViTDet config
+    trains on (evaluation/configs/vitb_voc2012_vitdet_config.py:78-115 -
+    unrunnable as shipped upstream, its mmdet base config is absent).
+    Images are square-resized to ``image_size`` (the FasterRCNNProbe's
+    static input), boxes scaled along; train adds hflip. ``classes=None``
+    scans the annotations and uses the sorted name set, so the same code
+    serves real VOC (20 canonical names) and synthetic layouts.
+    """
+
+    def __init__(self, data_root: str, split: str = "train",
+                 image_size: int = 512, train: bool = True,
+                 classes: Optional[Tuple[str, ...]] = None,
+                 max_boxes: int = 8, seed: int = 0):
+        import xml.etree.ElementTree as ET
+
+        self.data_root = data_root
+        self.image_size = image_size
+        self.train = train
+        self.max_boxes = max_boxes
+        self.rng = np.random.default_rng(seed)
+        split_f = os.path.join(data_root, "ImageSets", "Main",
+                               split + ".txt")
+        with open(split_f) as f:
+            self.names = [ln.strip() for ln in f if ln.strip()]
+        self._ann = {}
+        found = set()
+        for n in self.names:
+            tree = ET.parse(os.path.join(data_root, "Annotations",
+                                         n + ".xml"))
+            objs = []
+            for obj in tree.findall("object"):
+                cls = obj.findtext("name")
+                bb = obj.find("bndbox")
+                box = [float(bb.findtext(k))
+                       for k in ("xmin", "ymin", "xmax", "ymax")]
+                objs.append((cls, box))
+                found.add(cls)
+            size = tree.find("size")
+            wh = (float(size.findtext("width")),
+                  float(size.findtext("height")))
+            self._ann[n] = (objs, wh)
+        self.classes = tuple(classes) if classes else tuple(sorted(found))
+        self._cls_index = {c: i for i, c in enumerate(self.classes)}
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        name = self.names[index]
+        objs, (w0, h0) = self._ann[name]
+        img = load_image(
+            os.path.join(self.data_root, "JPEGImages", name + ".jpg"))
+        s = self.image_size
+        img = _bilinear_resize_u8(img, (s, s)).astype(np.float32)
+        sx, sy = s / w0, s / h0
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        labels = np.zeros((self.max_boxes,), np.int32)
+        valid = np.zeros((self.max_boxes,), bool)
+        for k, (cls, (x0, y0, x1, y1)) in enumerate(objs[: self.max_boxes]):
+            if cls not in self._cls_index:
+                continue
+            boxes[k] = (x0 * sx, y0 * sy, x1 * sx, y1 * sy)
+            labels[k] = self._cls_index[cls]
+            valid[k] = True
+        if self.train and self.rng.random() < 0.5:
+            img = img[:, ::-1]
+            x0 = boxes[:, 0].copy()
+            boxes[:, 0] = np.where(valid, s - boxes[:, 2], 0)
+            boxes[:, 2] = np.where(valid, s - x0, 0)
+        img = (img - SEG_MEAN) / SEG_STD
+        return {
+            "image": np.ascontiguousarray(img, np.float32),
+            "boxes": boxes,
+            "labels": labels,
+            "valid": valid,
+        }

@@ -36,6 +36,11 @@ TASKS = {
     # NYU recipe: vitb_nyu_linear_config.py:184-199 (AdamW lr 5e-3 wd 0.01,
     # cosine annealing with 12.8k-iter warmup, 38.4k iters)
     "nyu": dict(iters=38_400, lr=5e-3, wd=0.01),
+    # ViTDet Faster-RCNN probe on SimpleFPN: the reference's det config
+    # (vitb_voc2012_vitdet_config.py:78-115: AdamW lr 1e-4 wd 0.1, 24k
+    # iters) is unrunnable as shipped upstream (mmdet base config absent);
+    # this task is the runnable equivalent (dvt_tpu/eval/detection.py).
+    "voc_det": dict(iters=24_000, lr=1e-4, wd=0.1),
 }
 
 
@@ -386,6 +391,86 @@ def run_depth(args, cfg):
             evaluate(state, step + 1)
 
 
+def run_det(args, cfg):
+    """ViTDet-style detection probe: frozen backbone -> SimpleFPN ->
+    RPN + box head, VOC AP@0.5 (dvt_tpu/eval/detection.py; reference
+    intent: evaluation/configs/vitb_voc2012_vitdet_config.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.data.prefetch import DataLoader
+    from dvt_tpu.data.samplers import InfiniteSampler
+    from dvt_tpu.eval.datasets import VOCDetectionDataset
+    from dvt_tpu.eval.detection import FasterRCNNProbe, voc_ap50
+    from dvt_tpu.train.logging import MetricLogger, setup_logging
+
+    logger = setup_logging(args.work_dir)
+    feature_fn, fparams, wrapper = build_feature_fn(args)
+    train_ds = VOCDetectionDataset(args.data_root, "train", train=True,
+                                   seed=args.seed)
+    val_ds = VOCDetectionDataset(args.data_root, "val", train=False,
+                                 classes=train_ds.classes)
+    logger.info(
+        f"train {len(train_ds)} / val {len(val_ds)} images, "
+        f"{train_ds.num_classes} classes"
+    )
+    total = args.num_iterations or cfg["iters"]
+    probe = FasterRCNNProbe(
+        feature_fn, train_ds.num_classes, feature_params=fparams,
+        input_stride=args.stride_size or wrapper.patch_size,
+        lr=cfg["lr"], weight_decay=cfg["wd"], total_iters=total,
+        seed=args.seed,
+    )
+    loader = DataLoader(
+        train_ds, args.batch_size, InfiniteSampler(len(train_ds)),
+        num_workers=args.num_workers,
+    )
+    ml = MetricLogger(output_file=os.path.join(args.work_dir, "train_log.json"))
+    metrics_path = os.path.join(args.work_dir, "eval_metrics.json")
+    state = None
+
+    def evaluate(state, step):
+        n = len(val_ds) if args.max_val_images is None else min(
+            len(val_ds), args.max_val_images)
+        dets, gts = [], []
+        for i in range(n):
+            item = val_ds[i]
+            boxes, scores, classes, ok = probe.predict(
+                state, jnp.asarray(item["image"][None]))
+            keep = np.asarray(ok[0]) & (np.asarray(scores[0]) > 0.05)
+            dets.append({
+                "boxes": np.asarray(boxes[0])[keep],
+                "scores": np.asarray(scores[0])[keep],
+                "classes": np.asarray(classes[0])[keep],
+            })
+            gts.append({
+                "boxes": item["boxes"][item["valid"]],
+                "classes": item["labels"][item["valid"]],
+            })
+        res = voc_ap50(dets, gts, train_ds.num_classes)
+        res = {"mAP50": res["mAP50"], "iteration": step, "num_images": n}
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        logger.info(f"[eval @ {step}] {res}")
+
+    key = jax.random.PRNGKey(args.seed)
+    for step, batch in enumerate(
+        ml.log_every(loader, 50, header="DetProbe", n_iterations=total)
+    ):
+        if state is None:
+            state = probe.init_state(jnp.asarray(batch["image"]))
+        if step >= total:
+            break
+        state, m = probe.train_step(
+            state, jax.random.fold_in(key, step),
+            jnp.asarray(batch["image"]), jnp.asarray(batch["boxes"]),
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["valid"]),
+        )
+        ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
+        if (step + 1) % args.eval_interval == 0 or step == total - 1:
+            evaluate(state, step + 1)
+
+
 def main():
     args = get_args()
     os.makedirs(args.work_dir, exist_ok=True)
@@ -395,6 +480,8 @@ def main():
             run_seg_features(args, cfg)
         else:
             run_seg(args, cfg)
+    elif args.task == "voc_det":
+        run_det(args, cfg)
     else:
         run_depth(args, cfg)
 

@@ -153,3 +153,48 @@ def test_custom_depth_dataset(tmp_path):
     item = ds_val[1]
     assert item["image"].shape == (40, 50, 3)
     assert "depth" in item
+
+
+def test_voc_detection_dataset(tmp_path):
+    """XML parse, class discovery, square resize + box scaling, hflip."""
+    import numpy as np
+    from PIL import Image
+
+    from dvt_tpu.eval.datasets import VOCDetectionDataset
+
+    root = tmp_path
+    (root / "JPEGImages").mkdir()
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    Image.fromarray(np.zeros((100, 200, 3), np.uint8)).save(
+        root / "JPEGImages" / "a.jpg")
+    (root / "Annotations" / "a.xml").write_text(
+        "<annotation><size><width>200</width><height>100</height>"
+        "<depth>3</depth></size>"
+        "<object><name>cat</name><bndbox><xmin>20</xmin><ymin>10</ymin>"
+        "<xmax>60</xmax><ymax>50</ymax></bndbox></object>"
+        "<object><name>dog</name><bndbox><xmin>100</xmin><ymin>0</ymin>"
+        "<xmax>200</xmax><ymax>100</ymax></bndbox></object>"
+        "</annotation>")
+    (root / "ImageSets" / "Main" / "train.txt").write_text("a\n")
+
+    ds = VOCDetectionDataset(str(root), "train", image_size=128,
+                             train=False)
+    assert ds.classes == ("cat", "dog")
+    item = ds[0]
+    assert item["image"].shape == (128, 128, 3)
+    # x scaled by 128/200, y by 128/100
+    np.testing.assert_allclose(
+        item["boxes"][0], [20 * 0.64, 10 * 1.28, 60 * 0.64, 50 * 1.28])
+    assert item["valid"][:2].all() and not item["valid"][2:].any()
+    assert tuple(item["labels"][:2]) == (0, 1)
+
+    # train-mode hflip keeps boxes inside [0, size] and preserves width
+    ds_t = VOCDetectionDataset(str(root), "train", image_size=128,
+                               train=True, seed=3)
+    for _ in range(6):
+        it = ds_t[0]
+        b = it["boxes"][it["valid"]]
+        assert (b[:, 0] <= b[:, 2]).all()
+        assert b.min() >= 0 and b.max() <= 128
+        np.testing.assert_allclose(b[0, 2] - b[0, 0], 40 * 0.64, atol=1e-4)

@@ -81,11 +81,27 @@ def _draw_shape(rng, img, label, cls, h, w):
     return mask
 
 
+def _voc_xml(name, h, w, objects):
+    objs = "".join(
+        f"<object><name>{cls}</name><difficult>0</difficult>"
+        f"<bndbox><xmin>{x0}</xmin><ymin>{y0}</ymin>"
+        f"<xmax>{x1}</xmax><ymax>{y1}</ymax></bndbox></object>"
+        for cls, (x0, y0, x1, y1) in objects
+    )
+    return (
+        f"<annotation><filename>{name}.jpg</filename>"
+        f"<size><width>{w}</width><height>{h}</height>"
+        f"<depth>3</depth></size>{objs}</annotation>"
+    )
+
+
 def make_voc(root, n_train, n_val, num_classes, size, rng):
     img_dir = os.path.join(root, "JPEGImages")
     ann_dir = os.path.join(root, "SegmentationClass")
+    xml_dir = os.path.join(root, "Annotations")
     set_dir = os.path.join(root, "ImageSets", "Segmentation")
-    for d in (img_dir, ann_dir, set_dir):
+    det_set_dir = os.path.join(root, "ImageSets", "Main")
+    for d in (img_dir, ann_dir, xml_dir, set_dir, det_set_dir):
         os.makedirs(d, exist_ok=True)
     names = {"train": [], "val": []}
     for split, n in (("train", n_train), ("val", n_val)):
@@ -94,15 +110,28 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
             h = w = size
             img = _texture(rng, h, w, _CLASS_COLORS[0])
             label = np.zeros((h, w), np.uint8)
+            objects = []
             for _ in range(int(rng.integers(1, 4))):
                 cls = int(rng.integers(1, num_classes))
-                _draw_shape(rng, img, label, cls, h, w)
+                mask = _draw_shape(rng, img, label, cls, h, w)
+                ys, xs = np.where(mask)
+                if len(ys) < 16:
+                    continue
+                objects.append(
+                    (f"shape{cls}",
+                     (int(xs.min()), int(ys.min()),
+                      int(xs.max()) + 1, int(ys.max()) + 1))
+                )
             Image.fromarray(
                 np.clip(img, 0, 255).astype(np.uint8)
             ).save(os.path.join(img_dir, name + ".jpg"), quality=92)
             Image.fromarray(label).save(os.path.join(ann_dir, name + ".png"))
+            with open(os.path.join(xml_dir, name + ".xml"), "w") as f:
+                f.write(_voc_xml(name, h, w, objects))
             names[split].append(name)
         with open(os.path.join(set_dir, f"{split}.txt"), "w") as f:
+            f.write("\n".join(names[split]) + "\n")
+        with open(os.path.join(det_set_dir, f"{split}.txt"), "w") as f:
             f.write("\n".join(names[split]) + "\n")
     # stage-1 image lists (relative to root, reference voc_train.txt style)
     with open(os.path.join(root, "voc_train.txt"), "w") as f:
