@@ -18,8 +18,12 @@ repo publishes no official throughput - see BASELINE.md), so
 vs_baseline = images_per_sec / (1/60).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_IMAGES (2), BENCH_VIEWS (768), BENCH_ITERS (2500),
-BENCH_FAST=1 (tiny smoke config).
+Env knobs: BENCH_IMAGES (1), BENCH_VIEWS (768), BENCH_ITERS (1000),
+BENCH_SWEEP (16), BENCH_LEVELS (12), BENCH_STOCH (1), BENCH_FAST=1
+(tiny smoke config). The tuned defaults are quality-validated on the
+full 25k-iter workload (tools/quality_stage1.py, PLAN.md round-2 notes);
+BENCH_STOCH=0 BENCH_SWEEP=1 BENCH_LEVELS=16 reproduces the
+reference-exact semantics.
 """
 
 import json
@@ -82,7 +86,13 @@ def main():
     from dvt_tpu.stage1 import fit_image_batch_chunked
 
     fast = os.environ.get("BENCH_FAST") == "1"
-    n_images = int(os.environ.get("BENCH_IMAGES", "2"))
+    # One image per batch: the vmapped fit measured ~25% MORE per-image at
+    # N=2/4 than N=1 (2.48 vs 3.10 ms/iter/image, tools/ab_batchsize.py) -
+    # the batched table scatter loses efficiency, and per-image fits are
+    # row-count-bound so there is nothing to amortize. Multi-image
+    # throughput comes from sharding the image LIST across chips
+    # (stage1.sh semantics), not from vmap within a chip.
+    n_images = int(os.environ.get("BENCH_IMAGES", "1"))
     num_views = int(os.environ.get("BENCH_VIEWS", "32" if fast else "768"))
     num_iters = int(os.environ.get("BENCH_ITERS", "200" if fast else "1000"))
     sweep_every = int(os.environ.get("BENCH_SWEEP", "16"))
@@ -95,6 +105,13 @@ def main():
     # between the two fits 0.9968 mean - see PLAN.md round-2 notes).
     # BENCH_STOCH=0 benchmarks the reference-exact bilinear path.
     stochastic = os.environ.get("BENCH_STOCH", "1") == "1"
+    # 12-level grid (same 16->1024 resolution span, geometric respacing):
+    # fewer row-count-bound gather/scatter levels. Full-25k-iter quality on
+    # cat.jpg: recon cos 0.9442 (== exact 0.9442), denoised cosine vs the
+    # exact fit 0.9955 mean / 0.9917 p5, fit step 2.23 -> 1.87 ms/iter in
+    # the same session (tools/quality_stage1.py lev12; 10 levels measured
+    # SLOWER - regime change). BENCH_LEVELS=16 for the reference grid.
+    n_levels = int(os.environ.get("BENCH_LEVELS", "12"))
     # Deferred table sweep (stage1.py table_sweep_every): dense Adam over the
     # hash table once every K steps on accumulated row grads. K=16 measured
     # ~1.2x on the fit step and quality-validated at the full 25k-iter
@@ -109,6 +126,7 @@ def main():
         optimizer_impl=os.environ.get("BENCH_OPT", "fused"),
         stochastic_corners=stochastic,
         table_sweep_every=sweep_every,
+        n_levels=n_levels,
     )
 
     img_path = find_demo_image()
@@ -181,6 +199,7 @@ def main():
                     "measured_iters": num_iters,
                     "stochastic_corners": stochastic,
                     "table_sweep_every": sweep_every,
+                    "n_levels": n_levels,
                     "optimizer_impl": engine.optimizer_impl,
                     "reported_for_iters": FULL_ITERS,
                     "extract_s": round(t_extract, 2),

@@ -51,6 +51,15 @@ def main():
         "sweep8": dict(stochastic_corners=True, table_sweep_every=8),
         "sweep16": dict(stochastic_corners=True, table_sweep_every=16),
         "sweep16_exactcorners": dict(table_sweep_every=16),
+        # TPU-tuned level schedules: same 16->1024 resolution span over
+        # fewer levels (geometric respacing). Cuts the row-count-bound
+        # gather/scatter (the dominant step cost) and the table sweep
+        # proportionally; quality gate = flat recon cos + high denoised
+        # cosine vs the exact fit, like stochastic corners.
+        "lev12": dict(stochastic_corners=True, table_sweep_every=16,
+                      n_levels=12),
+        "lev10": dict(stochastic_corners=True, table_sweep_every=16,
+                      n_levels=10),
     }
     sel = sys.argv[1:] or ["exact", "stoch", "sweep16"]
 
