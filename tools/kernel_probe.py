@@ -69,6 +69,16 @@ def probe_gather():
 
 
 def probe_scatter():
+    """Two scatter patterns with very different costs:
+
+    * VJP-style (what the fit's backward does): scatter rows into a FRESH
+      zeros gradient buffer — zeros init + row updates, fused by XLA.
+    * loop-carried in-place update: XLA copies the whole table every
+      iteration (measured ~copy-bound: 77 ms/iter on a 79 MB table at a
+      1.3 GB/s session) — a trap for hand-rolled optimizer loops; the
+      deferred-sweep design (stage1.py) avoids it by batching K steps of
+      rows into ONE scatter + ONE dense sweep.
+    """
     k = jax.random.PRNGKey(0)
     table = jax.random.normal(k, (TABLE_ENTRIES, 8), jnp.float32)
     idx = jax.random.randint(jax.random.fold_in(k, 1), (ROWS,), 0,
@@ -76,14 +86,27 @@ def probe_scatter():
     upd = jax.random.normal(jax.random.fold_in(k, 2), (ROWS, 8), jnp.float32)
 
     @jax.jit
-    def run(table, idx, upd):
+    def run_vjp(idx, upd):
+        def body(i, acc):
+            g = jnp.zeros((TABLE_ENTRIES, 8), jnp.float32)
+            g = g.at[idx + (i % 7)].add(upd)
+            return acc + g[idx[0], 0]
+        return jax.lax.fori_loop(0, LOOPS, body, jnp.zeros((), jnp.float32))
+
+    dt = timed(run_vjp, idx, upd)
+    print(f"scatter-add {ROWS} rows x (8,) fp32 into fresh zeros grad "
+          f"({TABLE_ENTRIES} entries): {dt*1e3:.2f} ms = "
+          f"{dt/ROWS*1e9:.1f} ns/row (incl. zeros init)")
+
+    @jax.jit
+    def run_carry(table, idx, upd):
         def body(i, t):
             return t.at[idx + (i % 7)].add(upd)
         return jax.lax.fori_loop(0, LOOPS, body, table)
 
-    dt = timed(run, table, idx, upd)
-    print(f"scatter-add {ROWS} rows x (8,) fp32 into {TABLE_ENTRIES} "
-          f"entries: {dt*1e3:.2f} ms = {dt/ROWS*1e9:.1f} ns/row")
+    dt = timed(run_carry, table, idx, upd)
+    print(f"scatter-add loop-carried in-place into the {TABLE_ENTRIES//1000}k-"
+          f"entry table: {dt*1e3:.2f} ms (copy-bound trap, see docstring)")
 
 
 def probe_onehot():
