@@ -60,6 +60,11 @@ def main():
                       n_levels=12),
         "lev10": dict(stochastic_corners=True, table_sweep_every=16,
                       n_levels=10),
+        # Smaller pixel minibatch: halves the row-count-bound work per
+        # step but also the gradient information; the 25k-iter recon
+        # cosine decides if convergence actually suffers.
+        "pix1024": dict(stochastic_corners=True, table_sweep_every=16,
+                        n_levels=12, pixel_bsz=1024),
     }
     sel = sys.argv[1:] or ["exact", "stoch", "sweep16"]
 
