@@ -74,6 +74,12 @@ def get_args():
                         "<work_dir>/maps/ at each eval (reference "
                         "colormaps.py equivalents, eval/colormaps.py)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--det_proposals", type=int, default=300,
+                   help="voc_det: RPN proposals kept after NMS; the NMS "
+                        "loop is sequential, so smaller values shrink the "
+                        "jitted step (useful on watchdog-limited chips)")
+    p.add_argument("--det_roi_sample", type=int, default=128,
+                   help="voc_det: RoIs sampled for the box head per step")
     return p.parse_args()
 
 
@@ -419,6 +425,7 @@ def run_det(args, cfg):
         feature_fn, train_ds.num_classes, feature_params=fparams,
         input_stride=args.stride_size or wrapper.patch_size,
         lr=cfg["lr"], weight_decay=cfg["wd"], total_iters=total,
+        num_proposals=args.det_proposals, roi_sample=args.det_roi_sample,
         seed=args.seed,
     )
     loader = DataLoader(

@@ -104,3 +104,15 @@ class TestCollectResults:
         assert res["voc_run"]["mIoU"] == 83.5
         table = print_table(res)
         assert "voc_run" in table and "83.5" in table
+
+    def test_det_dirs_pick_best_map50(self, tmp_path):
+        from dvt_tpu.eval.collect_results import collect
+
+        d = tmp_path / "eval_voc_det"
+        os.makedirs(d)
+        with open(d / "eval_metrics.json", "w") as f:
+            f.write(json.dumps({"mAP50": 0.31, "iteration": 1}) + "\n")
+            f.write(json.dumps({"mAP50": 0.55, "iteration": 2}) + "\n")
+            f.write(json.dumps({"mAP50": 0.42, "iteration": 3}) + "\n")
+        res = collect(str(tmp_path))
+        assert res["eval_voc_det"]["mAP50"] == 0.55
