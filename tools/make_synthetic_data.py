@@ -154,6 +154,31 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
     return names
 
 
+def make_ade(root, n_train, n_val, num_classes, size, rng):
+    """ADEChallengeData2016 layout: images/{training,validation} +
+    annotations/{training,validation}, labels 1..150 with 0 = ignore
+    (the probe applies reduce_zero_label)."""
+    for split, n in (("training", n_train), ("validation", n_val)):
+        img_dir = os.path.join(root, "images", split)
+        ann_dir = os.path.join(root, "annotations", split)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(ann_dir, exist_ok=True)
+        for i in range(n):
+            name = f"ADE_{split[:5]}_{i:08d}"
+            h = w = size
+            img = _texture(rng, h, w, _CLASS_COLORS[0])
+            label = np.zeros((h, w), np.uint8)
+            for _ in range(int(rng.integers(1, 4))):
+                cls = int(rng.integers(1, num_classes))
+                _draw_shape(rng, img, label, cls, h, w)
+            Image.fromarray(
+                np.clip(img, 0, 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, name + ".jpg"), quality=92)
+            # ADE annotation convention: class ids are 1-based, 0 = ignore
+            Image.fromarray(label + 1).save(
+                os.path.join(ann_dir, name + ".png"))
+
+
 def make_nyu(root, n_train, n_val, rng):
     h, w = 480, 640
     for sub in ("rgb", "depth"):
@@ -199,8 +224,10 @@ def main():
     rng = np.random.default_rng(args.seed)
     make_voc(os.path.join(args.out, "voc"), args.n_train, args.n_val,
              args.num_classes, args.size, rng)
+    make_ade(os.path.join(args.out, "ade"), args.n_train, args.n_val,
+             args.num_classes, args.size, rng)
     make_nyu(os.path.join(args.out, "nyu"), args.n_train, args.n_val, rng)
-    print(f"synthetic VOC+NYU written under {args.out}")
+    print(f"synthetic VOC+ADE+NYU written under {args.out}")
 
 
 if __name__ == "__main__":
