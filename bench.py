@@ -112,6 +112,13 @@ def main():
     # the same session (tools/quality_stage1.py lev12; 10 levels measured
     # SLOWER - regime change). BENCH_LEVELS=16 for the reference grid.
     n_levels = int(os.environ.get("BENCH_LEVELS", "12"))
+    # Level dropout: 4 of the 12-level grid's 8 gather levels sampled per
+    # step (kept levels inverted-dropout scaled; export uses all levels).
+    # Full-25k quality: recon cos 0.9442 == exact, denoised cosine vs the
+    # exact fit 0.9949 / 0.9903 p5, step 1.87 -> 1.39 ms/iter same session
+    # (tools/quality_stage1.py lvl4; lvl6 measured SLOWER - regime change -
+    # and lvl2's quality dips to 0.9852 p5). BENCH_LVLSAMPLE=0 disables.
+    level_sample = int(os.environ.get("BENCH_LVLSAMPLE", "4"))
     # Deferred table sweep (stage1.py table_sweep_every): dense Adam over the
     # hash table once every K steps on accumulated row grads. K=16 measured
     # ~1.2x on the fit step and quality-validated at the full 25k-iter
@@ -127,6 +134,7 @@ def main():
         stochastic_corners=stochastic,
         table_sweep_every=sweep_every,
         n_levels=n_levels,
+        level_sample=level_sample,
     )
 
     img_path = find_demo_image()
@@ -200,6 +208,7 @@ def main():
                     "stochastic_corners": stochastic,
                     "table_sweep_every": sweep_every,
                     "n_levels": n_levels,
+                    "level_sample": level_sample,
                     "optimizer_impl": engine.optimizer_impl,
                     "reported_for_iters": FULL_ITERS,
                     "extract_s": round(t_extract, 2),

@@ -60,6 +60,7 @@ class Stage1Engine:
     matmul_level_threshold: int = 4096  # one-hot-matmul levels cutoff
     stochastic_corners: bool = False  # 1-corner sampling on gather levels
     table_sweep_every: int = 1  # K-step deferred hash-table Adam sweep
+    level_sample: int = 0  # level dropout: gather levels sampled per step
     vit_dtype: str = "bfloat16"
     vit_params: Optional[dict] = None
     checkpoint_path: Optional[str] = None
@@ -101,6 +102,7 @@ class Stage1Engine:
             matmul_level_threshold=self.matmul_level_threshold,
             stochastic_corners=self.stochastic_corners,
             table_sweep_every=self.table_sweep_every,
+            level_sample=self.level_sample,
         )
         self.pipeline = SingleImagePipeline(
             size=self.input_size,

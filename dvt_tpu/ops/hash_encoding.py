@@ -296,6 +296,27 @@ def hash_plan(coords: jax.Array, spec: HashGridSpec,
     return plan
 
 
+def subsample_fine_levels(plan: dict, key: jax.Array, keep: int) -> dict:
+    """Randomly keep ``keep`` of the Lg gather levels for this step.
+
+    Level-dropout speed knob for the fit: the gather/scatter row count
+    (the dominant stage-1 step cost, PLAN.md) scales with the number of
+    gather levels, so sampling keep < Lg cuts it proportionally. The
+    encoding zero-fills dropped level slots and scales kept ones by
+    Lg/keep (standard inverted dropout), so the MLP sees an unbiased
+    feature estimate in expectation; the full-grid export always uses
+    every level. Returns a plan with subset fine arrays + ``fine_perm``
+    consumed by ``hash_encode_from``.
+    """
+    lg = plan["fine_idx"].shape[1]
+    perm = jax.random.permutation(key, lg)[:keep]
+    out = dict(plan)
+    out["fine_idx"] = jnp.take(plan["fine_idx"], perm, axis=1)
+    out["fine_w"] = jnp.take(plan["fine_w"], perm, axis=1)
+    out["fine_perm"] = perm
+    return out
+
+
 def hash_gather_rows(table: jax.Array, plan: dict) -> jax.Array:
     """Gather the fine-level corner rows: (N, Lg, C, F), C in {1, 4}.
 
@@ -342,7 +363,19 @@ def hash_encode_from(coarse_prefix: jax.Array, fine_rows: jax.Array | None,
             outs.append((l, smat_l @ level_tab))
     if fine_slots:
         w = plan["fine_w"][..., None].astype(fine_rows.dtype)
-        fine_out = jnp.sum(fine_rows * w, axis=2)  # (N, Lg, F)
+        fine_out = jnp.sum(fine_rows * w, axis=2)  # (N, keep_or_Lg, F)
+        if "fine_perm" in plan:
+            # level dropout (subsample_fine_levels): scatter the sampled
+            # levels back to their slots, zero the rest, inverted-dropout
+            # scale so the expectation matches the full encoding
+            lg = len(fine_slots)
+            keep = fine_out.shape[1]
+            full = jnp.zeros(
+                (fine_out.shape[0], lg, fine_out.shape[2]), fine_out.dtype
+            )
+            fine_out = full.at[:, plan["fine_perm"]].set(
+                fine_out * (lg / keep)
+            )
         for k, l in enumerate(fine_slots):
             outs.append((l, fine_out[:, k]))
     outs.sort(key=lambda t: t[0])

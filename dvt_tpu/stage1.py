@@ -91,6 +91,12 @@ class Stage1Config:
     # ~1/K as far per wall-clock step; K compensates (one big step
     # integrating K unit steps). Quality-validated on device (PLAN.md).
     table_sweep_lr_scale: float | None = None  # None -> table_sweep_every
+    # Level dropout: sample this many of the Lg gather levels per step
+    # (subsample_fine_levels; kept levels scaled Lg/keep, dropped slots
+    # zero). 0 = off. Cuts the row-count-bound gather/scatter
+    # proportionally; full-grid export always uses every level. Runs on
+    # the deferred-sweep path (any table_sweep_every, incl. 1).
+    level_sample: int = 0
 
     @property
     def sweep_lr_scale(self) -> float:
@@ -347,6 +353,7 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
         hash_encode_from,
         hash_gather_rows,
         hash_plan,
+        subsample_fine_levels,
     )
 
     K = cfg.table_sweep_every
@@ -393,6 +400,10 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
                           if cfg.stochastic_corners else None)
 
             plan = hash_plan(coords, spec, corner_key)
+            if has_fine and cfg.level_sample:
+                plan = subsample_fine_levels(
+                    plan, jax.random.fold_in(skey, 2), cfg.level_sample
+                )
             fine_rows = (hash_gather_rows(table, plan) if has_fine
                          else jnp.zeros((cfg.pixel_bsz, 0, 1, spec.n_features),
                                         table.dtype))
@@ -481,11 +492,11 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
     25k-step loop across several dispatches (watchdog-friendly on tunneled
     dev chips) is bit-identical to one big scan.
     """
-    if cfg.table_sweep_every > 1:
+    if cfg.table_sweep_every > 1 or cfg.level_sample:
         if cfg.optimizer_impl not in ("fused", "pallas"):
             raise ValueError(
-                "table_sweep_every > 1 requires optimizer_impl 'fused' or "
-                "'pallas'")
+                "table_sweep_every > 1 / level_sample require "
+                "optimizer_impl 'fused' or 'pallas'")
         return _scan_deferred(loop_key, params, opt_state, raw_flat,
                               coords_flat, cfg, start, length)
     denoiser, field = cfg.modules()

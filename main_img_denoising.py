@@ -71,6 +71,10 @@ def get_args():
                         "every K steps (accumulated row grads, lr x K); "
                         "amortizes the table-sized HBM passes. 1 = exact "
                         "reference semantics")
+    p.add_argument("--level_sample", type=int, default=0,
+                   help="level dropout: sample this many gather levels "
+                        "per fit step (kept levels scaled, dropped slots "
+                        "zero; export uses all levels). 0 = off")
     args = p.parse_args()
     if isinstance(args.input_size, int):
         args.input_size = (args.input_size, args.input_size)
@@ -133,6 +137,7 @@ def main():
         matmul_level_threshold=args.matmul_level_threshold,
         stochastic_corners=args.stochastic_corners,
         table_sweep_every=args.table_sweep_every,
+        level_sample=args.level_sample,
     )
 
     filenames = collect_filenames(args)

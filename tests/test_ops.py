@@ -251,3 +251,76 @@ class TestHashEncoding:
         )
         np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
                                    atol=1e-5, rtol=1e-5)
+
+    def test_level_subsample_full_keep_is_exact(self, rng):
+        """subsample_fine_levels with keep == Lg is a permutation that
+        hash_encode_from scatters back: value identical to the full path
+        (scale Lg/keep == 1)."""
+        from dvt_tpu.ops.hash_encoding import (
+            hash_encode_from,
+            hash_gather_rows,
+            hash_plan,
+            subsample_fine_levels,
+        )
+
+        spec = HashGridSpec(n_levels=6, base_resolution=4, max_resolution=64,
+                            log2_hashmap_size=8, n_features=4,
+                            matmul_level_threshold=100)
+        table = jnp.asarray(
+            rng.standard_normal((spec.padded_entries, 4)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 1, size=(32, 2)), jnp.float32)
+        ref = hash_encode(table, coords, spec, None)
+
+        plan = hash_plan(coords, spec, None)
+        lg = plan["fine_idx"].shape[1]
+        sub = subsample_fine_levels(plan, jax.random.PRNGKey(3), lg)
+        rows = hash_gather_rows(table, sub)
+        out = hash_encode_from(table[: spec.coarse_entries], rows, sub, spec,
+                               batch_shape=(32,))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_level_subsample_partial_zeros_and_scales(self, rng):
+        """keep < Lg: sampled level slots carry Lg/keep-scaled features,
+        unsampled slots are exactly zero, coarse levels untouched."""
+        from dvt_tpu.ops.hash_encoding import (
+            hash_encode_from,
+            hash_gather_rows,
+            hash_plan,
+            subsample_fine_levels,
+        )
+
+        spec = HashGridSpec(n_levels=6, base_resolution=4, max_resolution=64,
+                            log2_hashmap_size=8, n_features=4,
+                            matmul_level_threshold=100)
+        table = jnp.asarray(
+            rng.standard_normal((spec.padded_entries, 4)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 1, size=(32, 2)), jnp.float32)
+        full = np.asarray(
+            hash_encode(table, coords, spec, None)
+        ).reshape(32, spec.n_levels, 4)
+
+        plan = hash_plan(coords, spec, None)
+        lg = plan["fine_idx"].shape[1]
+        keep = lg - 1
+        sub = subsample_fine_levels(plan, jax.random.PRNGKey(5), keep)
+        rows = hash_gather_rows(table, sub)
+        assert rows.shape[1] == keep  # the gather actually shrank
+        out = np.asarray(
+            hash_encode_from(table[: spec.coarse_entries], rows, sub, spec,
+                             batch_shape=(32,))
+        ).reshape(32, spec.n_levels, 4)
+
+        n_coarse = spec.n_levels - lg
+        np.testing.assert_allclose(out[:, :n_coarse], full[:, :n_coarse],
+                                   atol=1e-6)
+        perm = set(np.asarray(sub["fine_perm"]).tolist())
+        for k in range(lg):
+            lvl = n_coarse + k
+            if k in perm:
+                np.testing.assert_allclose(
+                    out[:, lvl], full[:, lvl] * (lg / keep), atol=1e-5)
+            else:
+                assert np.all(out[:, lvl] == 0)

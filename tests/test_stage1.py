@@ -257,6 +257,34 @@ class TestDeferredTableSweep:
         err_den = np.square(np.asarray(den_k4) - np.asarray(clean_full)).mean()
         assert err_den < err_raw * 0.5, (err_den, err_raw)
 
+    def test_level_sample_converges_like_standard(self):
+        """Level dropout (keep Lg-1 of the gather levels per step) still
+        fits the field and strips the artifact; export uses all levels."""
+        from dvt_tpu.models.neural_field import default_hash_spec
+        from dvt_tpu.stage1 import _export_single
+
+        cfg_std = small_cfg()
+        (_, _, m_std), _ = self._run(cfg_std, cfg_std.num_iters)
+
+        spec = default_hash_spec(cfg_std.n_levels,
+                                 cfg_std.matmul_level_threshold)
+        lg = sum(1 for s in spec.level_sizes
+                 if s > cfg_std.matmul_level_threshold)
+        assert lg >= 2
+        cfg_ls = small_cfg(level_sample=lg - 1, table_sweep_every=2)
+        (p_ls, _, m_ls), _ = self._run(cfg_ls, cfg_ls.num_iters)
+
+        raw, coords, clean_full, _ = synth_problem(
+            cfg_ls, jax.random.PRNGKey(0)
+        )
+        den_ls, _ = _export_single(p_ls, raw, cfg_ls)
+        l_std = np.asarray(m_std["loss"])[-20:].mean()
+        l_ls = np.asarray(m_ls["loss"])[-20:].mean()
+        assert l_ls < l_std * 1.8, (l_ls, l_std)
+        err_raw = np.square(np.asarray(raw[-1]) - np.asarray(clean_full)).mean()
+        err_den = np.square(np.asarray(den_ls) - np.asarray(clean_full)).mean()
+        assert err_den < err_raw * 0.5, (err_den, err_raw)
+
     def test_chunked_k_matches_monolithic(self):
         """Chunk boundaries aligned to K keep the deferred fit bit-stable."""
         from dvt_tpu.stage1 import fit_image_batch, fit_image_batch_chunked

@@ -65,6 +65,14 @@ def main():
         # cosine decides if convergence actually suffers.
         "pix1024": dict(stochastic_corners=True, table_sweep_every=16,
                         n_levels=12, pixel_bsz=1024),
+        # Level dropout on the 12-level grid (8 gather levels): sample k
+        # per step, export with all levels (stage1.level_sample).
+        "lvl6": dict(stochastic_corners=True, table_sweep_every=16,
+                     n_levels=12, level_sample=6),
+        "lvl4": dict(stochastic_corners=True, table_sweep_every=16,
+                     n_levels=12, level_sample=4),
+        "lvl2": dict(stochastic_corners=True, table_sweep_every=16,
+                     n_levels=12, level_sample=2),
     }
     sel = sys.argv[1:] or ["exact", "stoch", "sweep16"]
 
