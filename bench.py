@@ -19,11 +19,11 @@ vs_baseline = images_per_sec / (1/60).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_IMAGES (1), BENCH_VIEWS (768), BENCH_ITERS (1000),
-BENCH_SWEEP (16), BENCH_LEVELS (12), BENCH_STOCH (1), BENCH_FAST=1
-(tiny smoke config). The tuned defaults are quality-validated on the
-full 25k-iter workload (tools/quality_stage1.py, PLAN.md round-2 notes);
-BENCH_STOCH=0 BENCH_SWEEP=1 BENCH_LEVELS=16 reproduces the
-reference-exact semantics.
+BENCH_SWEEP (16), BENCH_LEVELS (12), BENCH_LVLSAMPLE (4), BENCH_STOCH
+(1), BENCH_FAST=1 (tiny smoke config). The tuned defaults are
+quality-validated on the full 25k-iter workload (tools/quality_stage1.py,
+PLAN.md round-2 notes); BENCH_STOCH=0 BENCH_SWEEP=1 BENCH_LEVELS=16
+BENCH_LVLSAMPLE=0 reproduces the reference-exact semantics.
 """
 
 import json

@@ -40,12 +40,12 @@ def collect(work_root: str) -> Dict[str, dict]:
         os.path.join(work_root, "**", "eval_metrics.json"), recursive=True
     ):
         task_dir = os.path.relpath(os.path.dirname(log), work_root)
-        if "det" in task_dir:
-            entry = best_entry(log, "mAP50")
-        elif "seg" in task_dir or "voc" in task_dir or "ade" in task_dir:
-            entry = best_entry(log, "mIoU")
-        else:
-            entry = best_entry(log, "a1")
+        # route by what the log actually contains (dir names are
+        # user-chosen and e.g. "vitdet" in a seg dir would misroute)
+        for key in ("mAP50", "mIoU", "a1"):
+            entry = best_entry(log, key)
+            if entry is not None:
+                break
         if entry:
             results[task_dir] = entry
     return results

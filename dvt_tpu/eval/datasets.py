@@ -415,11 +415,17 @@ class VOCDetectionDataset:
                  max_boxes: int = 8, seed: int = 0):
         import xml.etree.ElementTree as ET
 
+        import itertools
+
         self.data_root = data_root
         self.image_size = image_size
         self.train = train
         self.max_boxes = max_boxes
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # per-call RNG derived from (seed, index, draw#): __getitem__ runs
+        # concurrently in DataLoader worker threads and a shared Generator
+        # is not thread-safe; itertools.count().__next__ is atomic
+        self._draw = itertools.count()
         split_f = os.path.join(data_root, "ImageSets", "Main",
                                split + ".txt")
         with open(split_f) as f:
@@ -432,9 +438,18 @@ class VOCDetectionDataset:
             objs = []
             for obj in tree.findall("object"):
                 cls = obj.findtext("name")
+                # VOC protocol: 'difficult' objects are excluded from AP
+                # scoring; drop them from train targets and eval GT alike
+                # (simplification of the official ignore-matching)
+                if obj.findtext("difficult", "0").strip() == "1":
+                    continue
                 bb = obj.find("bndbox")
                 box = [float(bb.findtext(k))
                        for k in ("xmin", "ymin", "xmax", "ymax")]
+                # VOC pixel coordinates are 1-based inclusive; convert to
+                # 0-based half-open (x0 = xmin-1, x1 = xmax), so width =
+                # xmax - xmin + 1 pixels as the protocol defines
+                box = [box[0] - 1, box[1] - 1, box[2], box[3]]
                 objs.append((cls, box))
                 found.add(cls)
             size = tree.find("size")
@@ -468,7 +483,8 @@ class VOCDetectionDataset:
             boxes[k] = (x0 * sx, y0 * sy, x1 * sx, y1 * sy)
             labels[k] = self._cls_index[cls]
             valid[k] = True
-        if self.train and self.rng.random() < 0.5:
+        rng = np.random.default_rng((self.seed, index, next(self._draw)))
+        if self.train and rng.random() < 0.5:
             img = img[:, ::-1]
             x0 = boxes[:, 0].copy()
             boxes[:, 0] = np.where(valid, s - boxes[:, 2], 0)

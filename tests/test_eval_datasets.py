@@ -171,19 +171,24 @@ def test_voc_detection_dataset(tmp_path):
     (root / "Annotations" / "a.xml").write_text(
         "<annotation><size><width>200</width><height>100</height>"
         "<depth>3</depth></size>"
-        "<object><name>cat</name><bndbox><xmin>20</xmin><ymin>10</ymin>"
+        "<object><name>cat</name><bndbox><xmin>21</xmin><ymin>11</ymin>"
         "<xmax>60</xmax><ymax>50</ymax></bndbox></object>"
-        "<object><name>dog</name><bndbox><xmin>100</xmin><ymin>0</ymin>"
+        "<object><name>dog</name><bndbox><xmin>101</xmin><ymin>1</ymin>"
         "<xmax>200</xmax><ymax>100</ymax></bndbox></object>"
+        "<object><name>ghost</name><difficult>1</difficult>"
+        "<bndbox><xmin>1</xmin><ymin>1</ymin>"
+        "<xmax>10</xmax><ymax>10</ymax></bndbox></object>"
         "</annotation>")
     (root / "ImageSets" / "Main" / "train.txt").write_text("a\n")
 
     ds = VOCDetectionDataset(str(root), "train", image_size=128,
                              train=False)
+    # difficult object excluded from classes and targets (VOC protocol)
     assert ds.classes == ("cat", "dog")
     item = ds[0]
     assert item["image"].shape == (128, 128, 3)
-    # x scaled by 128/200, y by 128/100
+    # 1-based inclusive xml -> 0-based half-open, then x scaled by
+    # 128/200, y by 128/100
     np.testing.assert_allclose(
         item["boxes"][0], [20 * 0.64, 10 * 1.28, 60 * 0.64, 50 * 1.28])
     assert item["valid"][:2].all() and not item["valid"][2:].any()

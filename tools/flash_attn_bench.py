@@ -40,12 +40,22 @@ def sdpa(q, k, v):
 
 
 def timed(fn, *args):
-    out = fn(*args)  # compile + warm
-    np.asarray(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+    """Time LOOPS iterations inside ONE jitted program (lax.fori_loop
+    chaining the op through its q argument) so the ~0.5 s/dispatch tunnel
+    overhead is amortized out, same methodology as kernel_probe.py."""
+
+    @jax.jit
+    def run(q, *rest):
+        def body(i, q):
+            out = fn(q, *rest)
+            return jax.tree.leaves(out)[0].astype(q.dtype)
+        return jax.lax.fori_loop(0, LOOPS, body, q)
+
+    out = run(*args)  # compile + warm
+    np.asarray(jax.device_get(out).ravel()[0])
     t0 = time.time()
-    for _ in range(LOOPS):
-        out = fn(*args)
-    np.asarray(jax.device_get(jax.tree.leaves(out)[0]).ravel()[0])
+    out = run(*args)
+    np.asarray(jax.device_get(out).ravel()[0])
     return (time.time() - t0) / LOOPS
 
 
@@ -64,30 +74,28 @@ def main():
         )
         flops_fwd = 4 * n * n * HEADS * DIM  # QK^T + PV
 
-        fl = jax.jit(flash_attention)
-        dt = timed(fl, q, k, v)
+        dt = timed(flash_attention, q, k, v)
         print(f"N={n} flash fwd: {dt*1e3:.1f} ms "
               f"({flops_fwd/dt/1e12:.2f} TFLOPs)")
 
-        fl_g = jax.jit(jax.grad(
+        fl_g = jax.grad(
             lambda q, k, v: flash_attention(q, k, v).astype(jnp.float32).sum(),
-            argnums=(0, 1, 2)))
+            argnums=(0, 1, 2))
         dt = timed(fl_g, q, k, v)
         print(f"N={n} flash fwd+bwd: {dt*1e3:.1f} ms "
               f"({3.5*flops_fwd/dt/1e12:.2f} TFLOPs)")
 
         try:
-            sd = jax.jit(sdpa)
-            dt = timed(sd, q, k, v)
+            dt = timed(sdpa, q, k, v)
             print(f"N={n} sdpa  fwd: {dt*1e3:.1f} ms "
                   f"({flops_fwd/dt/1e12:.2f} TFLOPs)")
         except Exception as e:  # noqa: BLE001
             print(f"N={n} sdpa  fwd: FAILED ({type(e).__name__}: "
                   f"{str(e)[:120]})")
         try:
-            sd_g = jax.jit(jax.grad(
+            sd_g = jax.grad(
                 lambda q, k, v: sdpa(q, k, v).astype(jnp.float32).sum(),
-                argnums=(0, 1, 2)))
+                argnums=(0, 1, 2))
             dt = timed(sd_g, q, k, v)
             print(f"N={n} sdpa  fwd+bwd: {dt*1e3:.1f} ms "
                   f"({3.5*flops_fwd/dt/1e12:.2f} TFLOPs)")

@@ -115,11 +115,14 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
                 cls = int(rng.integers(1, num_classes))
                 mask = _draw_shape(rng, img, label, cls, h, w)
                 ys, xs = np.where(mask)
-                if len(ys) < 16:
+                if len(ys) == 0:
                     continue
+                # every drawn shape gets a box (an unannotated visible
+                # object would score correct detections as false
+                # positives); VOC XML coords are 1-based inclusive
                 objects.append(
                     (f"shape{cls}",
-                     (int(xs.min()), int(ys.min()),
+                     (int(xs.min()) + 1, int(ys.min()) + 1,
                       int(xs.max()) + 1, int(ys.max()) + 1))
                 )
             Image.fromarray(
