@@ -73,8 +73,11 @@ class Stage1Engine:
                 raise ValueError(
                     f"num_iters={self.num_iters} must be divisible by "
                     f"table_sweep_every={k}")
-            # chunk boundaries must land on sweep boundaries
-            self.fit_chunk_iters -= self.fit_chunk_iters % k
+            # chunk boundaries must land on sweep boundaries; never floor
+            # to 0 (a 0-length chunk would loop forever in the chunked fit)
+            self.fit_chunk_iters = max(
+                self.fit_chunk_iters - self.fit_chunk_iters % k, k
+            )
         self.vit = ViTWrapper(
             self.model_identifier,
             stride=self.stride,

@@ -229,6 +229,18 @@ def assign_anchors(anchors: Array, gt_boxes: Array, gt_valid: Array,
     return labels, best_gt
 
 
+def map_roi_levels(boxes: Array, num_levels: int = 4,
+                   finest_scale: float = 56.0) -> Array:
+    """FPN level per box, mmdet SingleRoIExtractor.map_roi_levels:
+    lvl = floor(log2(sqrt(area) / finest_scale)), clamped to
+    [0, num_levels-1] - a 56 px box pools from the finest level, each
+    scale doubling moves one level coarser."""
+    scale = jnp.sqrt(jnp.maximum(box_area(boxes), 1e-6))
+    return jnp.clip(
+        jnp.floor(jnp.log2(scale / finest_scale + 1e-6)), 0, num_levels - 1
+    ).astype(jnp.int32)
+
+
 def smooth_l1(x: Array, beta: float = 1.0) -> Array:
     ax = jnp.abs(x)
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
@@ -406,11 +418,7 @@ class FasterRCNNProbe:
         }
 
     def _extract_rois(self, levels, boxes, batch_index):
-        """FPN level assignment by box scale (mmdet map_roi_levels)."""
-        areas = jnp.sqrt(jnp.maximum(box_area(boxes), 1e-6))
-        lvl = jnp.clip(
-            jnp.floor(jnp.log2(areas / 56.0 + 1e-6)) + 2, 0, 3
-        ).astype(jnp.int32)
+        lvl = map_roi_levels(boxes)
         outs = []
         for li, (level, s) in enumerate(zip(levels, self.strides)):
             outs.append(roi_align(level[batch_index], boxes, 7, s))
@@ -508,8 +516,19 @@ def voc_ap50(all_dets: List[Dict], all_gts: List[Dict],
                 if len(gt_boxes) == 0:
                     records.append((sc, 0))
                     continue
-                ious = np.asarray(box_iou(
-                    jnp.asarray(box[None]), jnp.asarray(gt_boxes)))[0]
+                # pure-numpy IoU: this is host-side metric code inside a
+                # per-detection loop - a jnp call here would issue one
+                # device dispatch per detection
+                ix0 = np.maximum(gt_boxes[:, 0], box[0])
+                iy0 = np.maximum(gt_boxes[:, 1], box[1])
+                ix1 = np.minimum(gt_boxes[:, 2], box[2])
+                iy1 = np.minimum(gt_boxes[:, 3], box[3])
+                inter = (np.clip(ix1 - ix0, 0, None)
+                         * np.clip(iy1 - iy0, 0, None))
+                a_gt = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                        * (gt_boxes[:, 3] - gt_boxes[:, 1]))
+                a_d = (box[2] - box[0]) * (box[3] - box[1])
+                ious = inter / np.maximum(a_gt + a_d - inter, 1e-9)
                 j = int(np.argmax(ious))
                 if ious[j] >= iou_thr and not taken[j]:
                     taken[j] = True

@@ -100,9 +100,12 @@ class HashGridSpec:
         """Allocation row count: ``total_entries`` rounded up so the
         (rows, n_features) table reshapes copy-free to a 128-lane layout
         (rows * n_features divisible by 2048). Rows past ``total_entries``
-        are never indexed; optimizer sweeps over them are no-ops (zero
-        init, zero grad). Narrow-lane tables at full size crash the Mosaic
-        pipeline on v5e, and 128-lane tiles are the natural sweep layout."""
+        are never gathered or scattered, so their values never affect the
+        encoding; they do get the same U(-1e-4, 1e-4) init as real rows
+        and are touched by dense optimizer sweeps (weight decay slowly
+        shrinks them) - do not rely on the padding tail being zero.
+        Narrow-lane tables at full size crash the Mosaic pipeline on v5e,
+        and 128-lane tiles are the natural sweep layout."""
         quantum = max(2048 // self.n_features, 1)
         return -(-self.total_entries // quantum) * quantum
 

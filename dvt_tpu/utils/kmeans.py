@@ -21,11 +21,13 @@ def cosine_kmeans_fit(key, feats: jax.Array, num_clusters: int = 10,
     return centers
 
 
+@jax.jit
 def cosine_kmeans_predict(feats: jax.Array, centers: jax.Array) -> jax.Array:
     x = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     return jnp.argmax(x @ centers.T, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("num_clusters", "num_iters"))
 def cosine_kmeans(key, feats: jax.Array, num_clusters: int = 10,
                   num_iters: int = 20) -> jax.Array:
     """feats (N, C) -> labels (N,) by cosine-similarity k-means."""

@@ -162,7 +162,7 @@ def main():
         if i == 0:
             instance_mat = np.asarray(get_robust_pca(flat, m=2.0)[0])
             kmeans_centers = np.asarray(cosine_kmeans_fit(
-                jax.random.PRNGKey(0), jnp.asarray(flat), 8
+                jax.random.PRNGKey(0), jnp.asarray(flat), args.num_clusters
             ))
 
         frame_out = {}
@@ -176,7 +176,8 @@ def main():
         labels = np.asarray(
             cosine_kmeans_predict(jnp.asarray(flat), jnp.asarray(kmeans_centers))
         ).reshape(gh, gw)
-        frame_out["kmeans"] = to_img(_cmap("rainbow")(labels / 8.0)[..., :3], hw)
+        frame_out["kmeans"] = to_img(
+            _cmap("rainbow")(labels / float(args.num_clusters))[..., :3], hw)
         # single components through inferno (2nd is sign-flipped, :158)
         for name, comp in (("first_pca", pca_full[:, 0]),
                            ("second_pca", 1 - pca_full[:, 1]),

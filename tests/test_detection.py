@@ -131,6 +131,22 @@ def test_anchor_grid_counts():
     assert a[0, 0] < 8 < a[0, 2]
 
 
+def test_map_roi_levels_matches_mmdet():
+    """mmdet SingleRoIExtractor semantics (finest_scale=56): 56px -> lvl 0,
+    112 -> 1, 224 -> 2, 448+ -> 3, tiny boxes clamp to 0."""
+    import jax.numpy as jnp
+
+    from dvt_tpu.eval.detection import map_roi_levels
+
+    def box(s):
+        return [0.0, 0.0, float(s), float(s)]
+
+    boxes = jnp.asarray([box(8), box(56), box(100), box(112), box(224),
+                         box(448), box(900)])
+    lvls = np.asarray(map_roi_levels(boxes))
+    np.testing.assert_array_equal(lvls, [0, 0, 0, 1, 2, 3, 3])
+
+
 def test_voc_ap_perfect_and_empty(rng):
     gts = [{"boxes": rand_boxes(rng, 3), "classes": np.array([0, 1, 1])}]
     dets = [{
