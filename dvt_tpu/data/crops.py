@@ -143,14 +143,16 @@ def render_one_crop(base: Array, box: Array, flip: Array,
     oh, ow = out_hw
     top, left, h, w = box[0], box[1], box[2], box[3]
 
+    # precision pinned: TPU default matmul precision rounds fp32 operands
+    # to bf16, which would break the torch-exact bicubic claim on device
+    # (CLAUDE.md; ops/resample.py pins its einsums the same way)
     ridx, rw = _axis_taps(top, h, oh, H, max_taps)  # (oh,T)
     rows = base[ridx]  # (oh, T, W, C)
-    tmp = jnp.einsum("ok,okwc->owc", rw, rows)
+    tmp = jnp.einsum("ok,okwc->owc", rw, rows, precision="highest")
 
     cidx, cw = _axis_taps(left, w, ow, W, max_taps)  # (ow,T)
-    cols = tmp[:, cidx]  # (oh, ow, 4, C)
-    out = jnp.einsum("ok,ohkc->ohc", cw, jnp.moveaxis(cols, 1, 0))
-    out = jnp.moveaxis(out, 0, 1)  # back to (oh, ow, C)
+    cols = tmp[:, cidx]  # (oh, ow, T, C)
+    out = jnp.einsum("ok,hokc->hoc", cw, cols, precision="highest")
     return jnp.where(flip, out[:, ::-1, :], out)
 
 

@@ -61,7 +61,9 @@ def convert_vit_state_dict(
     p: Dict[str, Any] = {}
     w = _t(sd["patch_embed.proj.weight"])  # (C, 3, kh, kw)
     _set(p, "patch_embed/kernel", np.transpose(w, (2, 3, 1, 0)))
-    _set(p, "patch_embed/bias", _t(sd["patch_embed.proj.bias"]))
+    # timm pre-norm (CLIP) models ship no patch-embed bias
+    if "patch_embed.proj.bias" in sd:
+        _set(p, "patch_embed/bias", _t(sd["patch_embed.proj.bias"]))
     _set(p, "pos_embed", _t(sd["pos_embed"]))
     if cfg.class_token:
         _set(p, "cls_token", _t(sd["cls_token"]))
@@ -79,6 +81,9 @@ def convert_vit_state_dict(
             _linear(p, f"{d}/attn/q_proj", sd, f"{b}.attn.q_proj")
             _linear(p, f"{d}/attn/k_proj", sd, f"{b}.attn.k_proj")
             _linear(p, f"{d}/attn/v_proj", sd, f"{b}.attn.v_proj")
+            if f"{b}.attn.norm.weight" in sd:
+                # EVA-CLIP scale_attn_inner: LN before attn.proj
+                _layernorm(p, f"{d}/attn/norm", sd, f"{b}.attn.norm")
             _linear(p, f"{d}/attn/proj", sd, f"{b}.attn.proj")
             _linear(p, f"{d}/mlp/fc1_g", sd, f"{b}.mlp.fc1_g")
             _linear(p, f"{d}/mlp/fc1_x", sd, f"{b}.mlp.fc1_x")
@@ -179,7 +184,8 @@ def export_vit_state_dict(params: Mapping[str, Any], cfg: ViTConfig):
     sd["patch_embed.proj.weight"] = t(
         np.transpose(np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1))
     )
-    sd["patch_embed.proj.bias"] = t(params["patch_embed"]["bias"])
+    if "bias" in params["patch_embed"]:  # absent for pre-norm (CLIP)
+        sd["patch_embed.proj.bias"] = t(params["patch_embed"]["bias"])
     sd["pos_embed"] = t(params["pos_embed"])
     if cfg.class_token:
         sd["cls_token"] = t(params["cls_token"])
@@ -202,6 +208,9 @@ def export_vit_state_dict(params: Mapping[str, Any], cfg: ViTConfig):
                     p["attn"][ours]["kernel"]).T.contiguous()
                 if "bias" in p["attn"][ours]:
                     sd[f"{b}.attn.{theirs}.bias"] = t(p["attn"][ours]["bias"])
+            if "norm" in p["attn"]:  # EVA-CLIP scale_attn_inner
+                sd[f"{b}.attn.norm.weight"] = t(p["attn"]["norm"]["scale"])
+                sd[f"{b}.attn.norm.bias"] = t(p["attn"]["norm"]["bias"])
             for name in ("fc1_g", "fc1_x", "fc2"):
                 sd[f"{b}.mlp.{name}.weight"] = t(
                     p["mlp"][name]["kernel"]).T.contiguous()

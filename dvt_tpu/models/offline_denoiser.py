@@ -72,11 +72,17 @@ class SingleImageDenoiser(nn.Module):
         return self.residual_predictor[2](h)
 
     def shared_at(self, coords: Optional[Array]) -> Array:
-        """Sample G at view coords in [-1, 1]; None -> the full grid."""
+        """Sample G at view coords in [0, 1]; None -> the full grid.
+
+        Every coordinate producer in this codebase (data/crops.py grids,
+        engine.make_patch_coordinates) emits [0, 1]; the reference stores
+        the same range and rescales to [-1, 1] immediately before
+        F.grid_sample (offline_denoiser.py:96-101) - that conversion
+        lives HERE so callers pass their stored coords unchanged."""
         g = self.shared_artifacts.astype(self.dtype)
         if coords is None:
             return g.reshape(-1, self.feat_dim)
-        return grid_sample_2d(g, coords, align_corners=True)
+        return grid_sample_2d(g, coords * 2.0 - 1.0, align_corners=True)
 
     def __call__(
         self,
@@ -91,8 +97,9 @@ class SingleImageDenoiser(nn.Module):
         Args:
           raw_vit_outputs: (N, C) raw features (or (H, W, C); flattened).
           denoised_feats: (N, C) neural-field output F at global coords.
-          shared_artifact_coords: (N, 2) view coords in [-1,1]; None uses the
-            full artifact grid (the visualization/export path).
+          shared_artifact_coords: (N, 2) view coords in [0,1] (the range
+            the data pipeline stores); None uses the full artifact grid
+            (the visualization/export path).
           phase2: traced flag - residual predictor active, G frozen.
           return_visualization: include decomposition terms in the output.
         """

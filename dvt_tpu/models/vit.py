@@ -185,6 +185,12 @@ class Attention(nn.Module):
         else:
             out = sdpa(q, k, v, precision=self.precision)
         out = out.reshape(b, n, c)
+        if cfg.attn_inner_norm:
+            # EVA-CLIP (timm scale_attn_inner): LayerNorm over the merged
+            # head output before the output projection (timm attn.norm)
+            out = nn.LayerNorm(
+                epsilon=cfg.norm_eps, dtype=self.dtype, name="norm"
+            )(out)
         out = dense(c, "proj")(out)
         return out
 
@@ -233,7 +239,10 @@ class PatchEmbed(nn.Module):
             nn.initializers.lecun_normal(),
             (p, p, 3, self.cfg.embed_dim),
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.cfg.embed_dim,))
+        # timm disables the patch-embed bias when pre-norm is used
+        # (CLIP models): VisionTransformer(..., bias=not pre_norm)
+        bias = (None if self.cfg.pre_norm else self.param(
+            "bias", nn.initializers.zeros, (self.cfg.embed_dim,)))
         return patch_embed(
             x, kernel, bias, self.stride,
             precision=self.precision, out_dtype=self.dtype,
@@ -465,7 +474,10 @@ class ViTWrapper:
         return feat_maps
 
     def normalize_images(self, images: Array) -> Array:
-        """(B,H,W,3) uint8/float in [0,1] -> standardized float."""
+        """(B,H,W,3) uint8 (0-255) or float in [0,1] -> standardized
+        float (timm transform semantics: ToTensor /255 then mean/std)."""
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         mean = jnp.asarray(self.cfg.mean, jnp.float32)
         std = jnp.asarray(self.cfg.std, jnp.float32)
         return (images - mean) / std

@@ -43,6 +43,9 @@ class ViTConfig:
     # EVA02 family
     eva_arch: bool = False  # swiglu MLP w/ inner norm, separate qkv, rope
     use_rope: bool = True  # only read when eva_arch
+    # EVA-CLIP variants (timm scale_attn_inner): LayerNorm over the merged
+    # head output before attn.proj
+    attn_inner_norm: bool = False
     rope_ref_feat_shape: Optional[Tuple[int, int]] = None
     mean: Tuple[float, float, float] = IMAGENET_DEFAULT_MEAN
     std: Tuple[float, float, float] = IMAGENET_DEFAULT_STD
@@ -157,6 +160,7 @@ _register(
         name="eva02_base_patch16_clip_224.merged2b",
         patch_size=16,
         eva_arch=True,
+        attn_inner_norm=True,  # EVA-CLIP: timm scale_attn_inner=True
         mlp_ratio=4 * 2 / 3,
         rope_ref_feat_shape=(16, 16),
         mean=OPENAI_CLIP_MEAN,

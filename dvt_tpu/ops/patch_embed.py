@@ -62,9 +62,12 @@ def extract_patches(x: Array, patch: int, stride: int) -> Array:
     return win.reshape(b, gh, gw, patch * patch * c)
 
 
-def patch_embed(x: Array, kernel: Array, bias: Array, stride: int,
+def patch_embed(x: Array, kernel: Array, bias: Array | None, stride: int,
                 precision=None, out_dtype=None) -> Array:
-    """Apply a conv-layout (P, P, C, D) kernel as im2col + matmul."""
+    """Apply a conv-layout (P, P, C, D) kernel as im2col + matmul.
+
+    ``bias=None`` skips the bias add (timm pre-norm/CLIP models have no
+    patch-embed bias)."""
     p = kernel.shape[0]
     windows = extract_patches(x, p, stride)
     d = kernel.shape[-1]
@@ -72,10 +75,11 @@ def patch_embed(x: Array, kernel: Array, bias: Array, stride: int,
     if out_dtype is not None:
         windows = windows.astype(out_dtype)
         wmat = wmat.astype(out_dtype)
-        bias = bias.astype(out_dtype)
+        if bias is not None:
+            bias = bias.astype(out_dtype)
     out = jax.lax.dot_general(
         windows, wmat,
         dimension_numbers=(((3,), (0,)), ((), ())),
         precision=precision,
     )
-    return out + bias
+    return out if bias is None else out + bias

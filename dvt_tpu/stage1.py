@@ -313,7 +313,8 @@ def _denoiser_losses(dparams, cfg: Stage1Config, denoised, raw,
         res_loss = 0.1 * jnp.mean((res - gt_res) ** 2)
         sparsity = 0.02 * jnp.mean(jnp.abs(res))
         loss = loss + gate * (res_loss + sparsity)
-        metrics["residual_loss"] = res_loss
+        # gated, matching SingleImageDenoiser.__call__'s reported metric
+        metrics["residual_loss"] = gate * res_loss
     metrics["loss"] = loss
     return loss, metrics
 

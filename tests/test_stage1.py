@@ -87,6 +87,28 @@ class TestLrSchedule:
 
 
 class TestFit:
+    def test_shared_at_unit_coords_hit_grid_points(self):
+        """shared_at takes [0,1] coords (the range the data pipeline
+        stores); sampling the artifact map's own grid coordinates must
+        reproduce its values exactly (align_corners=True semantics)."""
+        from dvt_tpu.models.offline_denoiser import SingleImageDenoiser
+
+        h, w, c = 5, 7, 3
+        d = SingleImageDenoiser(feat_dim=c, noise_map_height=h,
+                                noise_map_width=w,
+                                enable_residual_predictor=False)
+        params = d.init(jax.random.PRNGKey(0),
+                        jnp.zeros((h * w, c)), jnp.zeros((h * w, c)))
+        g = params["params"]["shared_artifacts"]
+        ys, xs = jnp.meshgrid(jnp.linspace(0, 1, h), jnp.linspace(0, 1, w),
+                              indexing="ij")
+        coords = jnp.stack([xs, ys], -1).reshape(-1, 2)  # (x, y) like torch
+        sampled = d.apply(params, coords,
+                          method=lambda m, cc: m.shared_at(cc))
+        np.testing.assert_allclose(
+            np.asarray(sampled), np.asarray(g).reshape(-1, c),
+            atol=1e-5, rtol=1e-5)
+
     def test_fit_denoises_synthetic_image(self):
         cfg = small_cfg()
         raw, coords, clean_full, artifact = synth_problem(

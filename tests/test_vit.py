@@ -40,7 +40,8 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
         return torch.randn(*shape, generator=g) * 0.05
 
     sd["patch_embed.proj.weight"] = r(cfg.embed_dim, 3, cfg.patch_size, cfg.patch_size)
-    sd["patch_embed.proj.bias"] = r(cfg.embed_dim)
+    if not cfg.pre_norm:  # timm: bias=not pre_norm (CLIP has none)
+        sd["patch_embed.proj.bias"] = r(cfg.embed_dim)
     sd["pos_embed"] = r(1, cfg.num_pos_tokens, cfg.embed_dim)
     if cfg.class_token:
         sd["cls_token"] = r(1, 1, cfg.embed_dim)
@@ -59,6 +60,9 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
             sd[f"{b}.attn.k_proj.weight"] = r(d, d)
             sd[f"{b}.attn.v_proj.weight"] = r(d, d)
             sd[f"{b}.attn.v_proj.bias"] = r(d)
+            if cfg.attn_inner_norm:  # EVA-CLIP scale_attn_inner
+                sd[f"{b}.attn.norm.weight"] = 1 + 0.1 * r(d)
+                sd[f"{b}.attn.norm.bias"] = r(d)
         else:
             sd[f"{b}.attn.qkv.weight"] = r(3 * d, d)
             sd[f"{b}.attn.qkv.bias"] = r(3 * d)
@@ -123,7 +127,7 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
     x = F.conv2d(
         x_nchw,
         sd["patch_embed.proj.weight"],
-        sd["patch_embed.proj.bias"],
+        sd.get("patch_embed.proj.bias"),
         stride=stride,
     )
     b, c, gh, gw = x.shape
@@ -197,6 +201,8 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
 
         att = F.scaled_dot_product_attention(q, k, v)
         att = att.transpose(1, 2).reshape(b, -1, c)
+        if cfg.eva_arch and cfg.attn_inner_norm:
+            att = ln(att, f"{bk}.attn.norm.weight", f"{bk}.attn.norm.bias")
         att = F.linear(att, sd[f"{bk}.attn.proj.weight"], sd[f"{bk}.attn.proj.bias"])
         if cfg.init_values is not None:
             att = att * sd[f"{bk}.ls1.gamma"]
@@ -241,6 +247,9 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         (dict(eva_arch=True, use_rope=False, mlp_ratio=8 / 3), 8),
         (dict(eva_arch=True, rope_ref_feat_shape=(4, 4), mlp_ratio=8 / 3), 8),
         (dict(eva_arch=True, rope_ref_feat_shape=(4, 4), mlp_ratio=8 / 3), 4),
+        # EVA-CLIP (the zoo's EVA02 entry): inner attention LayerNorm
+        (dict(eva_arch=True, attn_inner_norm=True,
+              rope_ref_feat_shape=(4, 4), mlp_ratio=8 / 3), 8),
     ],
 )
 def test_forward_matches_torch_oracle(cfg_kw, stride):
