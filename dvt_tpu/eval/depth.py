@@ -212,11 +212,17 @@ class DepthLinearProbe:
         self.schedule = cosine_annealing_schedule(
             self.lr, self.total_iters, self.warmup_iters
         )
+        from dvt_tpu.train.optim import dilate_schedule
+
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.grad_clip),
-            optax.adamw(self.schedule, weight_decay=self.weight_decay),
+            optax.adamw(
+                dilate_schedule(self.schedule, self.grad_accum_steps),
+                weight_decay=self.weight_decay,
+            ),
         )
         if self.grad_accum_steps > 1:
+            # schedule dilated: see train/optim.dilate_schedule
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=self.grad_accum_steps
             )
@@ -272,10 +278,8 @@ class DepthLinearProbe:
         pred = bilinear_upsample(pred[..., None], gt.shape[1:3])[..., 0]
         warm = step < self.sig_warmup_iters
         loss = self.sig_weight * sig_loss(pred, gt, warm=warm)
-        gl = 0.0
-        for b in range(gt.shape[0]):
-            gl = gl + gradient_loss(pred[b], gt[b])
-        loss = loss + self.grad_weight * gl / gt.shape[0]
+        gl = jnp.mean(jax.vmap(gradient_loss)(pred, gt))
+        loss = loss + self.grad_weight * gl
         return loss, updates.get("batch_stats", {})
 
     def _train_step(self, state, images, gt, fp):
@@ -328,6 +332,17 @@ class DepthLinearProbe:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # pad the batch to a data-axis multiple (sharding a
+            # non-divisible batch is a hard error), trim after
+            n = images.shape[0]
+            d = self.mesh.shape["data"]
+            pad = (-n) % d
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
+                )
             images = jax.device_put(
                 images, NamedSharding(self.mesh, P("data")))
+            out = self._pred_jit(state, images, self.feature_params)
+            return out[:n]
         return self._pred_jit(state, images, self.feature_params)

@@ -153,12 +153,16 @@ class SegLinearProbe:
         self.schedule = poly_schedule(
             self.lr, self.total_iters, 1.0, self.warmup_iters
         )
+        from dvt_tpu.train.optim import dilate_schedule
+
         self.tx = optax.adamw(
-            self.schedule, b1=0.9, b2=0.999, weight_decay=self.weight_decay
+            dilate_schedule(self.schedule, self.grad_accum_steps),
+            b1=0.9, b2=0.999, weight_decay=self.weight_decay,
         )
         if self.grad_accum_steps > 1:
             # grads averaged over N mini-steps, optimizer applied every Nth
-            # (evaluation/segmentation/hooks/optimizer.py:15-47)
+            # (evaluation/segmentation/hooks/optimizer.py:15-47); schedule
+            # dilated so LR-vs-mini-iteration matches the per-iter LR hook
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=self.grad_accum_steps
             )
@@ -301,10 +305,15 @@ class ConfusionAccumulator:
     def results(self) -> Dict[str, float]:
         iou = self.intersect / np.maximum(self.union, 1)
         acc = self.intersect / np.maximum(self.label_count, 1)
-        present = self.label_count > 0
+        # mmseg nanmean semantics: a class counts toward mIoU whenever its
+        # union > 0 — including classes predicted but absent from GT
+        # (IoU 0); only never-seen-anywhere classes are excluded. mAcc
+        # averages over classes present in GT.
+        present = self.union > 0
+        present_gt = self.label_count > 0
         return {
             "mIoU": float(np.mean(iou[present]) * 100),
-            "mAcc": float(np.mean(acc[present]) * 100),
+            "mAcc": float(np.mean(acc[present_gt]) * 100),
             "aAcc": float(
                 self.intersect.sum() / max(self.label_count.sum(), 1) * 100
             ),

@@ -139,7 +139,13 @@ class Stage2Trainer:
         return metrics
 
     def predict(self, original_feats: Array) -> Array:
-        return self.module.apply(
-            {"params": self.state["params"]},
+        # jitted: an eager apply dispatches every op individually, which
+        # costs seconds per batch on high-dispatch-latency backends
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(
+                lambda params, x: self.module.apply({"params": params}, x)
+            )
+        return self._predict_jit(
+            self.state["params"],
             original_feats.astype(self.cfg.compute_dtype),
         )

@@ -96,8 +96,9 @@ class Stage3Trainer:
         student_params,
         teacher_vit_params,
         denoiser_params,
-        seed: int = 42,
+        seed: int = 42,  # deprecated, unused: all params are passed in
     ):
+        del seed
         self.cfg = cfg
         self.mesh = mesh
         vit_cfg = cfg.vit_cfg

@@ -32,12 +32,27 @@ def make_adamw(
     ``grad_accum_steps`` > 1 reproduces the reference's DistOptimizerHook
     (evaluation/segmentation/hooks/optimizer.py:15-47): grads are averaged
     over N mini-steps and the optimizer applies every N-th call (optax
-    MultiSteps; intermediate calls emit zero updates)."""
+    MultiSteps; intermediate calls emit zero updates). The inner optimizer
+    only ticks its schedule count once per N mini-steps, so the schedule
+    is dilated by N to keep LR-vs-MINI-iteration identical to the
+    reference's per-iteration LR hook."""
     tx = optax.adamw(
-        learning_rate=schedule, b1=b1, b2=b2, weight_decay=weight_decay
+        learning_rate=(dilate_schedule(schedule, grad_accum_steps)
+                       if grad_accum_steps > 1 else schedule),
+        b1=b1, b2=b2, weight_decay=weight_decay,
     )
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
+
+
+def dilate_schedule(schedule, k: int):
+    """Schedule seen by an optimizer that applies once every ``k``
+    mini-iterations (optax.MultiSteps): its count advances 1 per apply,
+    so evaluate the base schedule at count*k to keep the LR curve aligned
+    with mini-iterations."""
+    if callable(schedule):
+        return lambda count: schedule(count * k)
+    return schedule  # constant

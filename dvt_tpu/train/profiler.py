@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import contextlib
 import time
+
+import numpy as np
 from typing import Iterator, Optional
 
 import jax
@@ -29,7 +31,12 @@ def trace(log_dir: str, enabled: bool = True) -> Iterator[None]:
 
 
 class StepTimer:
-    """Blocking wall-clock step timer (calls block_until_ready)."""
+    """Blocking wall-clock step timer.
+
+    Syncs by materializing one element of the result on host:
+    ``jax.block_until_ready`` is a documented NO-OP on the tunneled axon
+    TPU backend (CLAUDE.md), so a host materialization is the only
+    reliable completion barrier across this project's backends."""
 
     def __init__(self):
         self.times = []
@@ -40,7 +47,10 @@ class StepTimer:
 
     def stop(self, result=None) -> float:
         if result is not None:
-            jax.block_until_ready(result)
+            leaves = [x for x in jax.tree.leaves(result)
+                      if hasattr(x, "ravel")]
+            if leaves:
+                np.asarray(jax.device_get(leaves[0]).ravel()[0])
         dt = time.perf_counter() - self._t0
         self.times.append(dt)
         return dt

@@ -67,6 +67,21 @@ class TestSegPieces:
         assert 0 < res["mIoU"] < 100
         assert res["aAcc"] == pytest.approx(4 / 5 * 100)
 
+    def test_miou_counts_predicted_but_absent_classes(self):
+        """mmseg nanmean semantics: a class predicted but never in GT has
+        union > 0 and IoU 0, and it COUNTS toward mIoU (excluding it
+        inflates the metric); mAcc averages over GT-present classes."""
+        acc = ConfusionAccumulator(3)
+        # class 2 predicted twice, never labeled; classes 0/1 perfect
+        pred = np.array([0, 0, 1, 1, 2, 2])
+        label = np.array([0, 0, 1, 1, 0, 1])
+        acc.add(pred, label)
+        res = acc.results()
+        # IoUs: c0 = 2/3, c1 = 2/3, c2 = 0/2 = 0 -> mean 4/9
+        assert res["mIoU"] == pytest.approx(4 / 9 * 100)
+        # mAcc over GT classes only: c0 2/3, c1 2/3
+        assert res["mAcc"] == pytest.approx(2 / 3 * 100)
+
     def test_slide_inference_covers_everything(self):
         calls = []
 

@@ -95,6 +95,49 @@ class TestMetricLogger:
         assert ml.meters["loss"].count == 7
 
 
+def test_grad_accum_schedule_tracks_mini_iterations():
+    """With accumulation N, the inner optimizer ticks its count once per N
+    mini-steps; the dilated schedule keeps LR-vs-mini-iteration aligned
+    with the reference's per-iteration LR hook (an undailated schedule
+    would stretch warmup/decay by N)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dvt_tpu.train.optim import dilate_schedule, make_adamw
+
+    sched = lambda step: 1e-2 * (1.0 + step)  # strictly increasing
+    assert float(dilate_schedule(sched, 4)(3)) == float(sched(12))
+
+    w0 = jnp.ones((2, 2))
+    g = jnp.ones((2, 2))
+
+    def lr_seen(tx, applies, k):
+        """Applied update magnitude per optimizer apply (Adam with
+        constant grads -> |update| == lr)."""
+        st = tx.init(w0)
+        w = w0
+        mags = []
+        for _ in range(applies * k):
+            upd, st = tx.update(g, st, w)
+            m = float(jnp.max(jnp.abs(upd[0] if isinstance(upd, tuple)
+                                      else upd)))
+            if m > 0:
+                mags.append(m)
+            w = optax.apply_updates(w, upd)
+        return mags
+
+    k = 4
+    mags_accum = lr_seen(make_adamw(sched, 0.0, grad_accum_steps=k), 3, k)
+    mags_plain = lr_seen(make_adamw(sched, 0.0), 12, 1)
+    # apply j of the accumulated optimizer should use the lr of
+    # mini-iteration j*k, not of iteration j
+    np.testing.assert_allclose(
+        mags_accum, [mags_plain[j * k] for j in range(3)], rtol=1e-5
+    )
+
+
 def test_grad_accum_matches_big_batch():
     """optax.MultiSteps in make_adamw: N accumulated mini-steps == one step
     on the concatenated batch (DistOptimizerHook semantics,
