@@ -32,7 +32,11 @@ class ImageFolderDataset:
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.random_flip = random_flip
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        # per-call RNGs: __getitem__ runs concurrently in DataLoader
+        # threads and a shared np Generator is not thread-safe
+        import itertools
+        self._draw = itertools.count()
 
         self.samples: List[Tuple[str, int]] = []
         classes = sorted(
@@ -65,6 +69,7 @@ class ImageFolderDataset:
             raw = load_image(path)
             raw = resize_image(raw, self.input_size).astype(np.float32) / 255.0
             img = (raw - self.mean) / self.std
-        if self.random_flip and self._rng.random() < 0.5:
+        rng = np.random.default_rng((self._seed, index, next(self._draw)))
+        if self.random_flip and rng.random() < 0.5:
             img = img[:, ::-1]
         return {"image": np.ascontiguousarray(img), "label": label}

@@ -35,27 +35,36 @@ class PairedListDataset:
         self.std = np.asarray(std, np.float32)
         with open(data_list) as f:
             self.img_paths = [ln.strip().split(" ")[0] for ln in f if ln.strip()]
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        import itertools
+        # per-call RNG (thread-safe under the threaded DataLoader)
+        self._draw = itertools.count()
 
     def __len__(self) -> int:
         return len(self.img_paths)
 
     def _denoised_path(self, rel: str) -> str:
-        ext = os.path.splitext(rel)[1]
-        return os.path.join(self.feat_root, rel.replace(ext, ".npy"))
+        # splitext-based: str.replace(ext, ...) would hit the FIRST
+        # occurrence of the extension substring anywhere in the path
+        return os.path.join(self.feat_root, os.path.splitext(rel)[0] + ".npy")
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         for _ in range(len(self.img_paths)):
             rel = self.img_paths[index]
             denoised_pth = self._denoised_path(rel)
-            if os.path.exists(denoised_pth):
+            raw_pth = denoised_pth.replace("denoised_features",
+                                           "raw_features")
+            # BOTH files must exist before this sample is usable
+            # (reference resample-on-missing, paired_list_dataset.py:31-32)
+            if os.path.exists(denoised_pth) and os.path.exists(raw_pth):
                 break
-            index = int(self._rng.integers(len(self.img_paths)))
+            rng = np.random.default_rng(
+                (self._seed, index, next(self._draw)))
+            index = int(rng.integers(len(self.img_paths)))
         else:
             raise FileNotFoundError(
                 f"no stage-1 features found under {self.feat_root}"
             )
-        raw_pth = denoised_pth.replace("denoised_features", "raw_features")
         img = load_image(os.path.join(self.data_root, rel))
         img = resize_image(img, self.input_size).astype(np.float32) / 255.0
         img = (img - self.mean) / self.std

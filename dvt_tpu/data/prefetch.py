@@ -48,20 +48,41 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put so a full queue can't wedge shutdown
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                while not stop.is_set():
-                    idxs = [next(idx_iter) for _ in range(self.batch_size)]
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    batch = _stack(items)
-                    if self.device_put_fn is not None:
-                        batch = self.device_put_fn(batch)
-                    q.put(batch)
+            # a producer exception must reach the consumer: dying silently
+            # would leave the training loop blocked on q.get() forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    while not stop.is_set():
+                        idxs = [next(idx_iter)
+                                for _ in range(self.batch_size)]
+                        items = list(
+                            pool.map(self.dataset.__getitem__, idxs))
+                        batch = _stack(items)
+                        if self.device_put_fn is not None:
+                            batch = self.device_put_fn(batch)
+                        if not put(batch):
+                            return
+            except BaseException as e:  # noqa: BLE001
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                batch = q.get()
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
         finally:
             stop.set()

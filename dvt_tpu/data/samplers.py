@@ -24,22 +24,35 @@ class InfiniteSampler:
 
 
 class DistributedInfiniteSampler:
-    def __init__(self, num_samples: int, num_replicas: int = 1, rank: int = 0):
+    """NOTE on shuffling: the reference sampler (sampler.py:33-42)
+    shuffles the stripe ONCE with an epoch-seeded RNG and then replays
+    that same permutation forever (set_epoch has no effect after __iter__
+    starts). The default here is reference-exact; pass
+    ``reshuffle_each_pass=True`` for a fresh permutation per pass (better
+    SGD mixing for long runs)."""
+
+    def __init__(self, num_samples: int, num_replicas: int = 1, rank: int = 0,
+                 reshuffle_each_pass: bool = False):
         self.total = num_samples
         self.num_replicas = num_replicas
         self.rank = rank
         self.epoch = 0
+        self.reshuffle_each_pass = reshuffle_each_pass
         self.num_samples = math.ceil(num_samples / num_replicas)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[int]:
-        rng = np.random.default_rng(self.epoch)
+        epoch = self.epoch
         stripe = np.arange(self.total)[self.rank :: self.num_replicas]
-        rng.shuffle(stripe)
         while True:
-            yield from stripe.tolist()
+            rng = np.random.default_rng(epoch)
+            perm = stripe.copy()
+            rng.shuffle(perm)
+            yield from perm.tolist()
+            if self.reshuffle_each_pass:
+                epoch += 1
 
     def __len__(self) -> int:
         return self.num_samples

@@ -17,11 +17,17 @@ from dvt_tpu.data.crops import CropSampler
 
 
 def load_image(path_or_array: Union[str, np.ndarray]) -> np.ndarray:
-    """Decode to (H, W, 3) uint8 RGB."""
+    """Decode to (H, W, 3) uint8 RGB.
+
+    Float arrays in [0, 1] are scaled by 255 (a bare astype would floor
+    every pixel to 0/1 and silently feed a black image downstream)."""
     if isinstance(path_or_array, np.ndarray):
         arr = path_or_array
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
+        if np.issubdtype(arr.dtype, np.floating):
+            scale = 255.0 if arr.max() <= 1.0 else 1.0
+            arr = np.clip(arr * scale, 0, 255).round()
         return arr[..., :3].astype(np.uint8)
     from PIL import Image
 

@@ -242,13 +242,12 @@ class Stage1Engine:
 
     # --- filesystem interface (stage-1 -> stage-2 contract) ---
     def feature_paths(self, save_root: str, data_root: str, img_path: str):
-        ext = os.path.splitext(img_path)[1]
         raw_dir = os.path.join(save_root, "raw_features", self.model_identifier)
         den_dir = os.path.join(
             save_root, "denoised_features", self.model_identifier
         )
         rel = os.path.relpath(img_path, data_root) if data_root else os.path.basename(img_path)
-        rel = rel.replace(ext, ".npy")
+        rel = os.path.splitext(rel)[0] + ".npy"
         return os.path.join(raw_dir, rel), os.path.join(den_dir, rel)
 
     def already_done(self, save_root: str, data_root: str, img_path: str) -> bool:

@@ -91,7 +91,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Pytree of host arrays -> batch-axis-sharded global arrays.
+
+    Single-process: plain device_put with the data sharding. Multi-host:
+    each process passes only its LOCAL rows (its sampler stripe) and the
+    global array is assembled with make_array_from_process_local_data -
+    a plain device_put of per-host-different data would silently keep
+    only each host's addressable rows while violating its
+    same-global-value contract."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
     )

@@ -67,9 +67,11 @@ def get_robust_pca(features: np.ndarray, m: float = 2.0):
     """
     features = np.asarray(features, np.float32)
     assert features.ndim == 2
-    # torch.pca_lowrank(q=3) on uncentered input approximates top-3 right
-    # singular vectors
-    _, _, vt = np.linalg.svd(features, full_matrices=False)
+    # torch.pca_lowrank defaults to center=True: the BASIS comes from the
+    # mean-centered matrix; the reference then projects the UNcentered
+    # features through it (visualization_tools.py:18-19) - match both
+    _, _, vt = np.linalg.svd(features - features.mean(0, keepdims=True),
+                             full_matrices=False)
     reduction = vt[:3].T  # (C, 3)
     colors = features @ reduction
     d = np.abs(colors - np.median(colors, axis=0))
@@ -131,6 +133,9 @@ def get_similarity_map(feat_map: np.ndarray,
     flat = flat / (np.linalg.norm(flat, axis=1, keepdims=True) + 1e-12)
     sim = (flat @ center).reshape(h, w)
     sim = (sim - sim.min()) / (sim.max() - sim.min() + 1e-12)
+    # -1 sentinel set BEFORE upsampling, exactly like the reference
+    # (visualization_tools.py:98-100) - the red center marker therefore
+    # bleeds into interpolated neighbors; kept for output parity
     sim[h // 2, w // 2] = -1.0
     sim = _bilinear_resize(sim, img_size)
     neg = sim < 0

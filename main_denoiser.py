@@ -125,8 +125,11 @@ def main():
     sampler = DistributedInfiniteSampler(
         len(dataset), jax.process_count(), jax.process_index()
     )
+    # each process loads only its share; shard_batch assembles the global
+    # batch from the per-process rows (multi-host) or device_puts (1 host)
+    local_bs = global_bs // jax.process_count()
     loader = DataLoader(
-        dataset, global_bs, sampler, num_workers=args.num_workers,
+        dataset, local_bs, sampler, num_workers=args.num_workers,
         device_put_fn=lambda b: shard_batch(mesh, b),
     )
 

@@ -158,8 +158,10 @@ def main():
     sampler = DistributedInfiniteSampler(
         len(dataset), jax.process_count(), jax.process_index()
     )
+    # per-process share; shard_batch assembles the global batch
     loader = DataLoader(
-        dataset, global_bs, sampler, num_workers=args.num_workers,
+        dataset, global_bs // jax.process_count(), sampler,
+        num_workers=args.num_workers,
         device_put_fn=lambda b: shard_batch(mesh, b),
     )
     metric_logger = MetricLogger(

@@ -98,6 +98,11 @@ def collect_filenames(args):
             glob.glob(os.path.join(args.img_path, "**/*"), recursive=True)
         )
         names = [n for n in names if os.path.isfile(n)]
+        if args.data_root is None:
+            # key saved features by path relative to the scanned directory:
+            # basename-only keys would collide for same-named files in
+            # different subdirs (silent skip via already_done)
+            args.data_root = args.img_path
     names = names[args.start_idx : args.start_idx + args.num_imgs]
     # multi-host job sharding: each process takes a stripe (the reference
     # does this with one process per GPU + start_idx arithmetic,
