@@ -158,3 +158,47 @@ class TestDatasets:
         item = ds[0]
         assert item["image"].shape == (16, 16, 3)
         assert set(ds.class_to_idx) == {"cat", "dog"}
+
+
+class TestDataLoader:
+    """Threaded prefetch loader (dvt_tpu/data/prefetch.py)."""
+
+    def test_yields_stacked_batches(self):
+        from dvt_tpu.data.prefetch import DataLoader
+        from dvt_tpu.data.samplers import InfiniteSampler
+
+        class DS:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                return {"x": np.full((2, 3), i, np.float32), "y": i}
+
+        loader = DataLoader(DS(), 4, InfiniteSampler(6), num_workers=2)
+        it = iter(loader)
+        b = next(it)
+        assert b["x"].shape == (4, 2, 3)
+        assert b["y"].tolist() == [0, 1, 2, 3]
+        b2 = next(it)
+        assert b2["y"].tolist() == [4, 5, 0, 1]
+
+    def test_producer_error_propagates(self):
+        """A dataset exception must surface in the consumer, not kill the
+        producer thread silently (which would hang training on q.get())."""
+        import pytest
+
+        from dvt_tpu.data.prefetch import DataLoader
+        from dvt_tpu.data.samplers import InfiniteSampler
+
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise ValueError("corrupt sample")
+                return {"x": np.zeros(2, np.float32)}
+
+        loader = DataLoader(Bad(), 4, InfiniteSampler(4), num_workers=2)
+        with pytest.raises(ValueError, match="corrupt sample"):
+            next(iter(loader))
