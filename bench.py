@@ -266,6 +266,11 @@ def main_with_fallback():
         {},
         {"BENCH_ITERS": "200", "BENCH_VIEWS": "256"},
         {"BENCH_ITERS": "100", "BENCH_VIEWS": "32", "BENCH_IMAGES": "1"},
+        # last resort: reference-exact semantics (no estimator paths) in
+        # case a backend change breaks the tuned fit program
+        {"BENCH_ITERS": "96", "BENCH_VIEWS": "32", "BENCH_IMAGES": "1",
+         "BENCH_STOCH": "0", "BENCH_SWEEP": "1", "BENCH_LVLSAMPLE": "0",
+         "BENCH_LEVELS": "16"},
     ]
     last_err = None
     wait_for_device()
