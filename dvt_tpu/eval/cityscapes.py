@@ -59,10 +59,10 @@ class CityscapesDepthDataset:
         return len(self.items)
 
     def _depth(self, disp_path: str, cam_path: Optional[str]) -> np.ndarray:
-        from PIL import Image
+        from dvt_tpu.eval.datasets import _load_label
 
-        with Image.open(os.path.join(self.data_root, disp_path)) as im:
-            disp_png = np.asarray(im)  # uint16 disparity png
+        # uint16 disparity png, native dtype preserved
+        disp_png = _load_label(os.path.join(self.data_root, disp_path))
         disparity = (disp_png.astype(np.float32) - 1.0) / self.depth_scale
         invalid = disparity <= 0
         disparity[invalid] = 1.0

@@ -2,10 +2,13 @@
 
 TPU rebuild of the reference's DPTHead fork (evaluation/depth/models/
 decode_heads/dpt_head.py, itself from the DPT paper): four ViT feature maps
-are "reassembled" to a 4-scale pyramid (deconv x4 / deconv x2 / identity /
-stride-2 conv), projected to a common width, then fused coarsest-to-finest
-with residual conv units and 2x upsampling; a small conv stack regresses
-depth. NHWC, flax.
+are "reassembled" to a 4-scale pyramid (the reference uses deconv x4 /
+deconv x2 / identity / stride-2 conv; this rebuild uses parameterless
+bilinear upsampling for the up scales - same output geometry, different
+params, so reference DPT weights do NOT map onto this head), projected to
+a common width, then fused coarsest-to-finest with residual conv units
+and 2x upsampling; a small conv stack regresses depth. Output is a
+(B, 16h, 16w) depth map from (B, h, w, C) taps. NHWC, flax.
 """
 
 from __future__ import annotations
@@ -38,7 +41,14 @@ class FeatureFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, skip: Optional[Array] = None) -> Array:
         if skip is not None:
-            x = x + ResidualConvUnit(self.channels, name="rcu1")(skip)
+            y = ResidualConvUnit(self.channels, name="rcu1")(skip)
+            if y.shape[1:3] != x.shape[1:3]:
+                # odd grids (e.g. the default 37x37 DINOv2 grid): the
+                # stride-2 reassemble gives ceil(h/2), whose 2x upsample
+                # overshoots by one - resize the skip to x like the
+                # reference head does before adding
+                y = bilinear_upsample(y, x.shape[1:3], align_corners=True)
+            x = x + y
         x = ResidualConvUnit(self.channels, name="rcu2")(x)
         b, h, w, c = x.shape
         x = bilinear_upsample(x, (h * 2, w * 2), align_corners=True)
@@ -47,7 +57,7 @@ class FeatureFusionBlock(nn.Module):
 
 
 class DPTHead(nn.Module):
-    """4 x (B, h, w, C) ViT taps -> (B, 8h, 8w) depth map."""
+    """4 x (B, h, w, C) ViT taps -> (B, 16h, 16w) depth map."""
 
     post_process_channels: Sequence[int] = (96, 192, 384, 768)
     channels: int = 256

@@ -44,12 +44,10 @@ class NeuralFeatureField(nn.Module):
         # on an externally computed encoding - the deferred-sweep fit path
         # (stage1.py) gathers the table rows outside the differentiated
         # function. Param names ("table", "mlp_0", "mlp_2") are unchanged.
+        from dvt_tpu.ops.hash_encoding import init_hash_table
+
         self.table = self.param(
-            "table",
-            lambda key, shape: jax.random.uniform(
-                key, shape, jnp.float32, minval=-1e-4, maxval=1e-4
-            ),
-            (self.spec.padded_entries, self.spec.n_features),
+            "table", lambda key: init_hash_table(key, self.spec)
         )
         self.mlp_0 = nn.Dense(self.feat_dim // 2, dtype=self.dtype)
         self.mlp_2 = nn.Dense(self.feat_dim, dtype=self.dtype)

@@ -42,6 +42,33 @@ def _block_cfg(feat_dim: int) -> ViTConfig:
     )
 
 
+def denoiser_from_params(params, feat_dim: int, dtype=jnp.float32
+                         ) -> "Denoiser":
+    """Build a Denoiser whose static config matches a loaded param tree.
+
+    Stage-2 checkpoints carry their training grid in pos_embed (1, h*w, C)
+    and their depth as blocks_N entries; constructing with defaults
+    (37x37, 1 block) would crash the pos-embed resample for other grids
+    and - worse - SILENTLY run only block 0 of a deeper checkpoint (flax
+    apply ignores unused params)."""
+    import math
+
+    n_blocks = sum(1 for k in params if str(k).startswith("blocks_"))
+    h = w = 37
+    if "pos_embed" in params:
+        tokens = params["pos_embed"].shape[1]
+        side = int(math.isqrt(tokens))
+        if side * side != tokens:
+            raise ValueError(
+                f"non-square denoiser pos_embed ({tokens} tokens)")
+        h = w = side
+    return Denoiser(
+        noise_map_height=h, noise_map_width=w, feat_dim=feat_dim,
+        num_blocks=max(n_blocks, 1), enable_pe="pos_embed" in params,
+        dtype=dtype,
+    )
+
+
 class Denoiser(nn.Module):
     noise_map_height: int = 37
     noise_map_width: int = 37

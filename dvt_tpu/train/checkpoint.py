@@ -34,8 +34,13 @@ class CheckpointManager:
         self.save_interval = save_interval
 
     def should_save(self, step: int, total_steps: int) -> bool:
-        """Reference cadence: every save_freq iters plus the final step."""
-        return step % self.save_interval == 0 or step == total_steps - 1
+        """Reference cadence ((it+1) % save_freq, main_denoiser.py:239):
+        first save after save_interval steps, plus the final step - NOT
+        step 0 (saving the untrained init would burn a max_to_keep slot
+        and could leave 'latest' pointing at random weights after an
+        early crash)."""
+        return ((step + 1) % self.save_interval == 0
+                or step == total_steps - 1)
 
     def save(self, step: int, state: Dict[str, Any]) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
@@ -72,8 +77,12 @@ def save_torch_compatible(path: str, tree: Any) -> None:
     loadable from torch land without jax installed."""
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        # DictKey -> .key, SequenceKey -> .idx, GetAttrKey (namedtuple /
+        # dataclass nodes, e.g. optax states) -> .name
         name = "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            str(getattr(k, "key",
+                        getattr(k, "idx", getattr(k, "name", k))))
+            for k in keypath
         )
         flat[name] = np.asarray(leaf)
     np.savez(path, **flat)

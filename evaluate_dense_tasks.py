@@ -87,7 +87,6 @@ def build_feature_fn(args, return_cls_token: bool = False):
     import jax.numpy as jnp
 
     from dvt_tpu.eval.glue import make_feature_fn
-    from dvt_tpu.models.online_denoiser import Denoiser
     from dvt_tpu.models.vit import ViTWrapper
 
     stride = args.stride_size or zoo.patch_size_of(args.model)
@@ -99,8 +98,11 @@ def build_feature_fn(args, return_cls_token: bool = False):
     if args.denoiser_ckpt:
         from main_distillation import load_denoiser_params
 
+        from dvt_tpu.models.online_denoiser import denoiser_from_params
+
         denoiser_params = load_denoiser_params(args.denoiser_ckpt)
-        denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
+        denoiser = denoiser_from_params(
+            denoiser_params, wrapper.n_output_dims, dtype=jnp.bfloat16)
     fn, fparams = make_feature_fn(
         wrapper, denoiser, denoiser_params,
         pad_multiple=wrapper.patch_size,
@@ -343,11 +345,8 @@ def run_depth(args, cfg):
             if not pending:
                 return
             imgs = np.stack([p[0] for p in pending])
-            if mesh is not None:  # pad to a shardable batch, trim after
-                mult = mesh.shape["data"]
-                pad = (-len(imgs)) % mult
-                if pad:
-                    imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+            # probe.predict pads the batch to a data-axis multiple (and
+            # trims) internally, so any batch size is safe here
             preds = np.asarray(probe.predict(state, jnp.asarray(imgs)))
             for (img, gt), pred in zip(pending, preds):
                 shape = gt.shape

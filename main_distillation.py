@@ -188,9 +188,13 @@ def main():
             grad_norm=float(metrics["grad_norm"]),
             lr=float(metrics["lr"]),
         )
-        if jax.process_index() == 0 and ckpt.should_save(step, num_iterations):
+        # orbax save is a cross-process collective: EVERY process must
+        # call it (a rank-0 gate would deadlock multi-host runs in the
+        # commit barrier); orbax itself writes from one host
+        if ckpt.should_save(step, num_iterations):
             ckpt.save(step, trainer.state)
-            logger.info(f"saved checkpoint at step {step}")
+            if jax.process_index() == 0:
+                logger.info(f"saved checkpoint at step {step}")
     ckpt.wait()
     logger.info("done")
 

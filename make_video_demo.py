@@ -101,8 +101,11 @@ def main():
     if args.denoiser_ckpt:
         from main_distillation import load_denoiser_params
 
+        from dvt_tpu.models.online_denoiser import denoiser_from_params
+
         denoiser_params = load_denoiser_params(args.denoiser_ckpt)
-        denoiser = Denoiser(feat_dim=wrapper.n_output_dims, dtype=jnp.bfloat16)
+        denoiser = denoiser_from_params(
+            denoiser_params, wrapper.n_output_dims, dtype=jnp.bfloat16)
     feature_fn, fparams = make_feature_fn(wrapper, denoiser, denoiser_params)
     raw_fn, raw_params = make_feature_fn(wrapper)  # raw mode for side-by-side
 

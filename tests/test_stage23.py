@@ -95,3 +95,24 @@ class TestStage3:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_denoiser_from_params_matches_checkpoint_config():
+    """Stage-2 checkpoints carry their grid (pos_embed tokens) and depth
+    (blocks_N); reconstructing with defaults would crash on non-37x37
+    grids and silently drop blocks beyond the first."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.models.online_denoiser import Denoiser, denoiser_from_params
+
+    src = Denoiser(noise_map_height=8, noise_map_width=8, feat_dim=32,
+                   num_blocks=2)
+    params = src.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 32)))["params"]
+    d = denoiser_from_params(params, 32)
+    assert (d.noise_map_height, d.noise_map_width) == (8, 8)
+    assert d.num_blocks == 2 and d.enable_pe
+    # and the rebuilt module actually consumes the checkpoint params
+    out = d.apply({"params": params}, jnp.zeros((1, 8, 8, 32)))
+    assert out.shape == (1, 8, 8, 32)

@@ -61,10 +61,13 @@ class TestCheckpoint:
         mgr.close()
 
     def test_should_save_cadence(self, tmp_path):
+        """Reference cadence (it+1) % save_freq: first save after
+        save_interval steps; NEVER the untrained step 0."""
         mgr = CheckpointManager(str(tmp_path / "c"), save_interval=5000)
-        assert mgr.should_save(0, 40000)
-        assert mgr.should_save(5000, 40000)
-        assert not mgr.should_save(4999, 40000)
+        assert not mgr.should_save(0, 40000)
+        assert mgr.should_save(4999, 40000)
+        assert not mgr.should_save(5000, 40000)
+        assert mgr.should_save(9999, 40000)
         assert mgr.should_save(39999, 40000)  # final step
         mgr.close()
 

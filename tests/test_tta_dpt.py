@@ -75,3 +75,17 @@ class TestDPTHead:
         assert depth.ndim == 3 and depth.shape[0] == 1
         d = np.asarray(depth)
         assert (d > 0).all() and (d <= 10.002).all()
+
+    def test_odd_grid(self, rng):
+        """Odd feature grids (the DEFAULT DINOv2 37x37 regime): the
+        stride-2 reassemble gives ceil(h/2), whose 2x upsample overshoots
+        by one - the fusion skip must be resized, not crash."""
+        head = DPTHead(post_process_channels=(8, 16, 24, 32), channels=16,
+                       max_depth=10.0)
+        feats = [
+            jnp.asarray(rng.standard_normal((1, 5, 7, 12)).astype(np.float32))
+            for _ in range(4)
+        ]
+        params = head.init(jax.random.PRNGKey(0), feats)["params"]
+        depth = head.apply({"params": params}, feats)
+        assert depth.shape[0] == 1 and depth.shape[1] >= 5 * 16 - 16
