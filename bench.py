@@ -22,8 +22,12 @@ Env knobs: BENCH_IMAGES (1), BENCH_VIEWS (768), BENCH_ITERS (1000),
 BENCH_SWEEP (16), BENCH_LEVELS (12), BENCH_LVLSAMPLE (4), BENCH_STOCH
 (1), BENCH_FAST=1 (tiny smoke config). The tuned defaults are
 quality-validated on the full 25k-iter workload (tools/quality_stage1.py,
-PLAN.md round-2 notes); BENCH_STOCH=0 BENCH_SWEEP=1 BENCH_LEVELS=16
-BENCH_LVLSAMPLE=0 reproduces the reference-exact semantics.
+tools/quality_sweep.py, PLAN.md); BENCH_STOCH=0 BENCH_SWEEP=1
+BENCH_LEVELS=16 BENCH_LVLSAMPLE=0 reproduces the reference-exact
+semantics — and BENCH_DUAL=1 (default) times that exact config on the
+same extraction and reports its vs_baseline in the detail JSON, so the
+tuned (estimator) headline is always published next to the
+implementation-only speedup.
 """
 
 import json
@@ -189,6 +193,42 @@ def main():
     sync(den)
     t_fit = time.time() - t0
 
+    # ---- reference-exact semantics on the same extraction (BENCH_DUAL) ----
+    # The tuned defaults above are approximate ESTIMATORS (stochastic
+    # corners, deferred sweeps, 12-level grid, level dropout change the
+    # fitted model, quality-gated by tools/quality_sweep.py); the honest
+    # implementation-speedup comparison vs the A100 baseline is the
+    # reference-exact config. Report both (ADVICE r2).
+    exact_detail = None
+    if os.environ.get("BENCH_DUAL", "1") == "1" and (
+        stochastic or sweep_every != 1 or n_levels != 16 or level_sample
+    ):
+        try:
+            import dataclasses as _dc
+
+            exact_cfg = _dc.replace(
+                engine.cfg, stochastic_corners=False, table_sweep_every=1,
+                n_levels=16, level_sample=0, num_iters=num_iters,
+            )
+            den_e, _ = fit_image_batch_chunked(
+                keys, raw_b, crd_b, exact_cfg, chunk)
+            sync(den_e)
+            t0 = time.time()
+            den_e, _ = fit_image_batch_chunked(
+                keys, raw_b, crd_b, exact_cfg, chunk)
+            sync(den_e)
+            t_fit_exact = time.time() - t0
+            ips_exact = n_images / (t_extract + t_fit_exact * scale)
+            exact_detail = {
+                "fit_ms_per_iter_per_batch": round(
+                    t_fit_exact / num_iters * 1e3, 2),
+                "images_per_sec": round(ips_exact, 4),
+                "vs_baseline": round(
+                    ips_exact * BASELINE_SEC_PER_IMAGE_A100, 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            exact_detail = {"error": str(e)}
+
     sec_per_batch_full = t_extract + t_fit * scale
     images_per_sec = n_images / sec_per_batch_full
     result = {
@@ -217,6 +257,7 @@ def main():
                     "final_recon_cos": float(
                         np.mean(np.asarray(metrics["final_recon_cos"]))
                     ),
+                    "reference_exact_semantics": exact_detail,
                     "device": str(jax.devices()[0]),
                     "device_hbm_gbps_measured": gbps,
                     "device_bf16_tflops_measured": tflops,

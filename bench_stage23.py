@@ -1,0 +1,181 @@
+"""Benchmark: stage-2 (denoiser) and stage-3 (distillation) training
+throughput on one TPU chip.
+
+The reference trains stage 2 on cached .npy feature pairs
+(main_denoiser.py, batch 256 over 8 A100s) and stage 3 as two frozen ViT
+forwards + one student backward per step (main_distillation.py:235-262).
+This bench measures OUR step time at several configs each, on synthetic
+in-memory batches (so it isolates device step time from the host loader;
+the loader's rate is reported separately by tools/ab_loader.py-style runs
+in RESULTS.md).
+
+Method: warm one step (compile), then time K dispatched steps and sync at
+the end by materializing a metric (jax.block_until_ready is a no-op on
+axon). Steady-state dispatches pipeline, so K-step wall / K is the
+per-step cost. A device calibration (HBM GB/s + bf16 TFLOPs) prints with
+every run because the tunnel chip swings between sessions.
+
+Prints one JSON line per (stage, config): {"metric", "config", "ms_per_step",
+"tokens_per_s", ...} and a final summary line.
+Env: ST23_FAST=1 (tiny smoke), ST23_STEPS (default 20 / 8),
+     ST23_S2_ONLY / ST23_S3_ONLY.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def bench_stage2(fast: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.parallel.mesh import make_mesh
+    from dvt_tpu.stage2 import Stage2Config, Stage2Trainer
+
+    mesh = make_mesh()
+    gh = gw = 8 if fast else 37
+    dim = 64 if fast else 768
+    steps = int(os.environ.get("ST23_STEPS", "4" if fast else "20"))
+    results = []
+    for bs in ([2] if fast else [16, 64]):
+        cfg = Stage2Config(
+            feat_dim=dim, noise_map_height=gh, noise_map_width=gw,
+            global_batch_size=bs,
+        )
+        trainer = Stage2Trainer(cfg, mesh)
+        rng = np.random.default_rng(0)
+        raw = jnp.asarray(
+            rng.standard_normal((bs, gh, gw, dim)), jnp.float32)
+        den = jnp.asarray(
+            rng.standard_normal((bs, gh, gw, dim)), jnp.float32)
+        m = trainer.train_step(raw, den)  # compile
+        sync(m["loss"])
+        t0 = time.time()
+        for _ in range(steps):
+            m = trainer.train_step(raw, den)
+        sync(m["loss"])
+        dt = (time.time() - t0) / steps
+        tokens = bs * gh * gw
+        row = {
+            "metric": "stage2_train_step",
+            "config": {"batch": bs, "grid": f"{gh}x{gw}", "dim": dim},
+            "ms_per_step": round(dt * 1e3, 2),
+            "tokens_per_s": round(tokens / dt),
+            "samples_per_s": round(bs / dt, 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        del trainer
+    return results
+
+
+def bench_stage3(fast: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.models.vit import ViTWrapper
+    from dvt_tpu.parallel.mesh import make_mesh
+    from dvt_tpu.stage3 import Stage3Config, Stage3Trainer
+
+    mesh = make_mesh()
+    steps = int(os.environ.get("ST23_STEPS", "2" if fast else "8"))
+    model = "vit_base_patch14_dinov2.lvd142m"
+    size, stride = (140, 14) if fast else (518, 14)
+    wrapper = ViTWrapper(model, stride=stride, seed=0)
+    gh = (size - wrapper.patch_size) // stride + 1
+    tokens_per_img = gh * gh
+
+    # denoiser params at the right grid via a tiny Stage2 init
+    from dvt_tpu.models.online_denoiser import Denoiser
+
+    den_mod = Denoiser(noise_map_height=gh, noise_map_width=gh,
+                       feat_dim=wrapper.n_output_dims, num_blocks=1,
+                       dtype=jnp.bfloat16)
+    den_params = den_mod.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, gh, gh, wrapper.n_output_dims), jnp.bfloat16),
+    )["params"]
+
+    grids = ([("bs1", 1, False, "einsum")] if fast else [
+        ("bs2_einsum", 2, False, "einsum"),
+        ("bs2_einsum_remat", 2, True, "einsum"),
+        ("bs2_flash", 2, False, "flash"),
+        ("bs4_einsum_remat", 4, True, "einsum"),
+    ])
+    results = []
+    rng = np.random.default_rng(0)
+    for name, bs, remat, attn in grids:
+        cfg = Stage3Config(
+            model=model, stride=stride, input_size=size,
+            global_batch_size=bs, grad_checkpointing=remat,
+            attention_impl=attn,
+        )
+        try:
+            trainer = Stage3Trainer(
+                cfg, mesh,
+                student_params=wrapper.params,
+                teacher_vit_params=wrapper.params,
+                denoiser_params=den_params,
+            )
+            imgs = jnp.asarray(
+                rng.standard_normal((bs, size, size, 3)), jnp.float32)
+            m = trainer.train_step(imgs)  # compile
+            sync(m["loss"])
+            t0 = time.time()
+            for _ in range(steps):
+                m = trainer.train_step(imgs)
+            sync(m["loss"])
+            dt = (time.time() - t0) / steps
+            row = {
+                "metric": "stage3_train_step",
+                "config": {"name": name, "batch": bs, "remat": remat,
+                           "attention": attn, "input": size,
+                           "tokens_per_image": tokens_per_img},
+                "ms_per_step": round(dt * 1e3, 1),
+                "tokens_per_s": round(bs * tokens_per_img / dt),
+                "images_per_s": round(bs / dt, 3),
+            }
+            del trainer
+        except Exception as e:  # noqa: BLE001 - keep later configs running
+            row = {"metric": "stage3_train_step",
+                   "config": {"name": name}, "error": str(e)[:200]}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+def main():
+    import jax
+
+    from bench import device_calibration, wait_for_device
+
+    wait_for_device()
+    import jax.numpy as jnp
+
+    gbps, tflops = device_calibration(jax, jnp)
+    fast = os.environ.get("ST23_FAST") == "1"
+    out = {"device": str(jax.devices()[0]),
+           "device_hbm_gbps_measured": gbps,
+           "device_bf16_tflops_measured": tflops}
+    if os.environ.get("ST23_S3_ONLY") != "1":
+        out["stage2"] = bench_stage2(fast)
+    if os.environ.get("ST23_S2_ONLY") != "1":
+        out["stage3"] = bench_stage3(fast)
+    print(json.dumps(out), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,23 @@ class DataLoader:
 
         def producer():
             # a producer exception must reach the consumer: dying silently
-            # would leave the training loop blocked on q.get() forever
+            # would leave the training loop blocked on q.get() forever.
+            # Catch Exception (not BaseException): KeyboardInterrupt /
+            # SystemExit in a worker thread shouldn't be replayed in the
+            # consumer, and a StopIteration from an exhausted finite
+            # sampler must be wrapped — re-raising it inside the consumer
+            # generator would surface as an opaque PEP-479 RuntimeError.
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     while not stop.is_set():
-                        idxs = [next(idx_iter)
-                                for _ in range(self.batch_size)]
+                        try:
+                            idxs = [next(idx_iter)
+                                    for _ in range(self.batch_size)]
+                        except StopIteration:
+                            put(RuntimeError(
+                                "sampler exhausted mid-batch: DataLoader "
+                                "expects an infinite sampler"))
+                            return
                         items = list(
                             pool.map(self.dataset.__getitem__, idxs))
                         batch = _stack(items)
@@ -73,7 +84,7 @@ class DataLoader:
                             batch = self.device_put_fn(batch)
                         if not put(batch):
                             return
-            except BaseException as e:  # noqa: BLE001
+            except Exception as e:  # noqa: BLE001
                 put(e)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -81,7 +92,7 @@ class DataLoader:
         try:
             while True:
                 batch = q.get()
-                if isinstance(batch, BaseException):
+                if isinstance(batch, Exception):
                     raise batch
                 yield batch
         finally:

@@ -16,18 +16,26 @@ import numpy as np
 from dvt_tpu.data.crops import CropSampler
 
 
-def load_image(path_or_array: Union[str, np.ndarray]) -> np.ndarray:
+def load_image(
+    path_or_array: Union[str, np.ndarray],
+    float_range: float = None,
+) -> np.ndarray:
     """Decode to (H, W, 3) uint8 RGB.
 
-    Float arrays in [0, 1] are scaled by 255 (a bare astype would floor
-    every pixel to 0/1 and silently feed a black image downstream)."""
+    Contract for float arrays: values are expected in [0, 1] and are
+    scaled by 255 (a bare astype would floor every pixel to 0/1 and
+    silently feed a black image downstream). Callers holding floats
+    already in 0-255 scale must pass ``float_range=255.0`` explicitly —
+    with ``float_range=None`` the scale is inferred from ``arr.max()``,
+    which misclassifies a legitimately near-black 0-255 image."""
     if isinstance(path_or_array, np.ndarray):
         arr = path_or_array
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         if np.issubdtype(arr.dtype, np.floating):
-            scale = 255.0 if arr.max() <= 1.0 else 1.0
-            arr = np.clip(arr * scale, 0, 255).round()
+            if float_range is None:
+                float_range = 1.0 if arr.max() <= 1.0 else 255.0
+            arr = np.clip(arr * (255.0 / float_range), 0, 255).round()
         return arr[..., :3].astype(np.uint8)
     from PIL import Image
 

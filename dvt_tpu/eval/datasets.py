@@ -438,11 +438,12 @@ class VOCDetectionDataset:
             objs = []
             for obj in tree.findall("object"):
                 cls = obj.findtext("name")
-                # VOC protocol: 'difficult' objects are excluded from AP
-                # scoring; drop them from train targets and eval GT alike
-                # (simplification of the official ignore-matching)
-                if obj.findtext("difficult", "0").strip() == "1":
-                    continue
+                # VOC protocol: 'difficult' objects are excluded from the
+                # training targets and IGNORE-matched at AP time (a
+                # detection matching one is neither TP nor FP) — keep them
+                # with a flag; voc_ap50 consumes the mask. Non-difficult
+                # objects sort first so they never lose max_boxes slots.
+                difficult = obj.findtext("difficult", "0").strip() == "1"
                 bb = obj.find("bndbox")
                 box = [float(bb.findtext(k))
                        for k in ("xmin", "ymin", "xmax", "ymax")]
@@ -450,8 +451,10 @@ class VOCDetectionDataset:
                 # 0-based half-open (x0 = xmin-1, x1 = xmax), so width =
                 # xmax - xmin + 1 pixels as the protocol defines
                 box = [box[0] - 1, box[1] - 1, box[2], box[3]]
-                objs.append((cls, box))
-                found.add(cls)
+                objs.append((cls, box, difficult))
+                if not difficult:
+                    found.add(cls)
+            objs.sort(key=lambda o: o[2])
             size = tree.find("size")
             wh = (float(size.findtext("width")),
                   float(size.findtext("height")))
@@ -472,27 +475,40 @@ class VOCDetectionDataset:
         img = load_image(
             os.path.join(self.data_root, "JPEGImages", name + ".jpg"))
         s = self.image_size
-        img = _bilinear_resize_u8(img, (s, s)).astype(np.float32)
-        sx, sy = s / w0, s / h0
+        # reference pipeline: Resize keep_ratio to fit (s, s) + Normalize +
+        # Pad (mmdet pads with 0 AFTER normalize), boxes scaled by the one
+        # uniform factor — not an aspect-distorting square resize
+        # (vitb_voc2012_vitdet_config.py:12-16). Padding bottom/right keeps
+        # box coordinates unchanged and the canvas shape static for jit.
+        scale = min(s / w0, s / h0)
+        nh, nw = max(round(h0 * scale), 1), max(round(w0 * scale), 1)
+        img = _bilinear_resize_u8(img, (nh, nw)).astype(np.float32)
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         labels = np.zeros((self.max_boxes,), np.int32)
         valid = np.zeros((self.max_boxes,), bool)
-        for k, (cls, (x0, y0, x1, y1)) in enumerate(objs[: self.max_boxes]):
+        difficult = np.zeros((self.max_boxes,), bool)
+        for k, (cls, (x0, y0, x1, y1), diff) in enumerate(
+                objs[: self.max_boxes]):
             if cls not in self._cls_index:
                 continue
-            boxes[k] = (x0 * sx, y0 * sy, x1 * sx, y1 * sy)
+            boxes[k] = (x0 * scale, y0 * scale, x1 * scale, y1 * scale)
             labels[k] = self._cls_index[cls]
-            valid[k] = True
+            valid[k] = not diff  # train targets exclude difficult objects
+            difficult[k] = diff
         rng = np.random.default_rng((self.seed, index, next(self._draw)))
         if self.train and rng.random() < 0.5:
             img = img[:, ::-1]
+            ann = valid | difficult
             x0 = boxes[:, 0].copy()
-            boxes[:, 0] = np.where(valid, s - boxes[:, 2], 0)
-            boxes[:, 2] = np.where(valid, s - x0, 0)
+            boxes[:, 0] = np.where(ann, nw - boxes[:, 2], 0)
+            boxes[:, 2] = np.where(ann, nw - x0, 0)
         img = (img - SEG_MEAN) / SEG_STD
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = img
         return {
-            "image": np.ascontiguousarray(img, np.float32),
+            "image": np.ascontiguousarray(canvas, np.float32),
             "boxes": boxes,
             "labels": labels,
             "valid": valid,
+            "difficult": difficult,
         }

@@ -202,13 +202,25 @@ class DepthLinearProbe:
     use_cls_token: bool = False
     upsample: int = 4
     grad_accum_steps: int = 1  # DistOptimizerHook update_interval semantics
+    head_type: str = "linear"  # "dpt" (TPU-fast) | "dpt_reference" (the
+    # torch-checkpoint-compatible DPTHead variant, eval/dpt.py); DPT heads
+    # expect feature_fn to return a LIST of 4 taps (glue out_indices)
     seed: int = 0
 
     def __post_init__(self):
-        self.head = DepthBNHead(
-            min_depth=self.min_depth, max_depth=self.max_depth,
-            upsample=self.upsample,
-        )
+        if self.head_type == "linear":
+            self.head = DepthBNHead(
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                upsample=self.upsample,
+            )
+        else:
+            from dvt_tpu.eval.dpt import DPTHead
+
+            self.head = DPTHead(
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                variant=("reference" if self.head_type == "dpt_reference"
+                         else "tpu"),
+            )
         self.schedule = cosine_annealing_schedule(
             self.lr, self.total_iters, self.warmup_iters
         )
@@ -248,10 +260,24 @@ class DepthLinearProbe:
                     jax.lax.stop_gradient(cls))
         return jax.lax.stop_gradient(out), None
 
+    def _head_init(self, key, feats, cls):
+        if self.head_type == "linear":
+            return self.head.init(key, feats, cls, train=False)
+        return self.head.init(key, feats)
+
+    def _head_apply(self, variables, feats, cls, train, mutable=False):
+        if self.head_type == "linear":
+            if mutable:
+                return self.head.apply(variables, feats, cls, train=train,
+                                       mutable=["batch_stats"])
+            return self.head.apply(variables, feats, cls, train=train)
+        out = self.head.apply(variables, feats)
+        return (out, {}) if mutable else out
+
     def init_state(self, example_images: Array):
         feats, cls = self._features(self.feature_params, example_images[:1])
-        variables = self.head.init(
-            jax.random.PRNGKey(self.seed), feats, cls, train=False
+        variables = self._head_init(
+            jax.random.PRNGKey(self.seed), feats, cls
         )
         params = variables["params"]
         state = {
@@ -268,12 +294,9 @@ class DepthLinearProbe:
 
     def _loss(self, params, batch_stats, images, gt, fp, step):
         feats, cls = self._features(fp, images)
-        pred, updates = self.head.apply(
+        pred, updates = self._head_apply(
             {"params": params, "batch_stats": batch_stats},
-            feats,
-            cls,
-            train=True,
-            mutable=["batch_stats"],
+            feats, cls, train=True, mutable=True,
         )
         pred = bilinear_upsample(pred[..., None], gt.shape[1:3])[..., 0]
         warm = step < self.sig_warmup_iters
@@ -314,11 +337,9 @@ class DepthLinearProbe:
 
     def _predict(self, state, images, fp):
         feats, cls = self._features(fp, images)
-        pred = self.head.apply(
+        pred = self._head_apply(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
-            feats,
-            cls,
-            train=False,
+            feats, cls, train=False,
         )
         return bilinear_upsample(pred[..., None], images.shape[1:3])[..., 0]
 

@@ -496,7 +496,13 @@ def voc_ap50(all_dets: List[Dict], all_gts: List[Dict],
              num_classes: int, iou_thr: float = 0.5) -> Dict[str, float]:
     """VOC-style AP@0.5 (area-under-PR, continuous): detections are dicts
     {boxes (D,4), scores (D,), classes (D,)}; gts {boxes (G,4),
-    classes (G,)} per image."""
+    classes (G,), optional difficult (G,) bool} per image.
+
+    'difficult' GT follows the official VOCdevkit protocol: such objects
+    contribute nothing to the GT count, and a detection whose best-IoU
+    match (>= iou_thr, over ALL class GT) is difficult is IGNORED —
+    recorded as neither TP nor FP (reference's mmdet fork inherits the
+    same semantics via eval_map ignore handling)."""
     aps = []
     for c in range(num_classes):
         records = []  # (score, is_tp)
@@ -504,7 +510,10 @@ def voc_ap50(all_dets: List[Dict], all_gts: List[Dict],
         for dets, gts in zip(all_dets, all_gts):
             gt_mask = gts["classes"] == c
             gt_boxes = gts["boxes"][gt_mask]
-            n_gt += len(gt_boxes)
+            diff = gts.get("difficult")
+            diff = (np.asarray(diff, bool)[gt_mask] if diff is not None
+                    else np.zeros(len(gt_boxes), bool))
+            n_gt += int((~diff).sum())
             taken = np.zeros(len(gt_boxes), bool)
             sel = dets["classes"] == c
             order = np.argsort(-dets["scores"][sel])
@@ -530,9 +539,14 @@ def voc_ap50(all_dets: List[Dict], all_gts: List[Dict],
                 a_d = (box[2] - box[0]) * (box[3] - box[1])
                 ious = inter / np.maximum(a_gt + a_d - inter, 1e-9)
                 j = int(np.argmax(ious))
-                if ious[j] >= iou_thr and not taken[j]:
-                    taken[j] = True
-                    records.append((sc, 1))
+                if ious[j] >= iou_thr:
+                    if diff[j]:
+                        continue  # ignore: neither TP nor FP
+                    if not taken[j]:
+                        taken[j] = True
+                        records.append((sc, 1))
+                    else:
+                        records.append((sc, 0))
                 else:
                     records.append((sc, 0))
         if n_gt == 0:

@@ -41,6 +41,7 @@ def make_feature_fn(
     vit_params=None,
     pad_multiple: Optional[int] = None,
     return_cls_token: bool = False,
+    out_indices=None,
 ):
     """Build (feature_fn(params, images) -> (B, h, w, C), params) for the
     probes. Backbone params are threaded as explicit jit arguments - baking
@@ -54,12 +55,18 @@ def make_feature_fn(
     flag the returned fn yields (feats, cls) where cls is (B, C). In the
     denoiser mode the cls token is the raw ViT's - the single-block
     denoiser only processes patch tokens (dvt/models/online_denoiser.py:
-    62-104)."""
+    62-104).
+
+    ``out_indices``: tap MULTIPLE blocks (e.g. (2, 5, 8, 11) for a DPT
+    head, or (8, 9, 10, 11) for seg resize_concat) — the fn then returns
+    a LIST of maps. The denoiser, when given, applies to the LAST tap
+    only (stage 2 trains on last-layer features)."""
     params = {
         "vit": vit_params if vit_params is not None else vit_wrapper.params,
         "denoiser": denoiser_params,
     }
-    n = [vit_wrapper.last_layer_index]
+    multi = out_indices is not None
+    n = list(out_indices) if multi else [vit_wrapper.last_layer_index]
 
     def fn(p, images: Array):
         x = images
@@ -70,12 +77,13 @@ def make_feature_fn(
             return_prefix_tokens=return_cls_token,
         )
         if return_cls_token:
-            feats, prefix = out[-1]
-            cls = prefix[:, 0]
+            maps = [o[0] for o in out]
+            cls = out[-1][1][:, 0]
         else:
-            feats = out[-1]
+            maps = list(out)
         if denoiser is not None:
-            feats = denoiser.apply({"params": p["denoiser"]}, feats)
+            maps[-1] = denoiser.apply({"params": p["denoiser"]}, maps[-1])
+        feats = maps if multi else maps[-1]
         feats = jax.lax.stop_gradient(feats)
         if return_cls_token:
             return feats, jax.lax.stop_gradient(cls)

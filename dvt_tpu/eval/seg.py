@@ -247,7 +247,21 @@ class SegLinearProbe:
         return bilinear_upsample(logits, images.shape[1:3])
 
     def predict_logits(self, state, images: Array) -> Array:
-        return self._logits_jit(state, images, self.feature_params)
+        """Batched window/image inference; with a mesh the batch axis is
+        sharded over 'data' (the reference evals run 8-way
+        MMDistributedDataParallel, evaluation/depth/apis/train.py:61-66;
+        same pattern as DepthProbe.predict). Non-divisible batches are
+        padded with the last row and trimmed after."""
+        if self.mesh is None:
+            return self._logits_jit(state, images, self.feature_params)
+        n = images.shape[0]
+        d = self.mesh.shape["data"]
+        pad = (-n) % d
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0)
+        images = jax.device_put(images, NamedSharding(self.mesh, P("data")))
+        return self._logits_jit(state, images, self.feature_params)[:n]
 
 
 def slide_inference(
@@ -278,6 +292,66 @@ def slide_inference(
             canvas[y1 : y1 + ch, x1 : x1 + cw] += logits
             count[y1 : y1 + ch, x1 : x1 + cw] += 1
     return canvas / np.maximum(count, 1)
+
+
+def slide_inference_batched(
+    logits_fn: Callable[[Array], Array],
+    images: Sequence[np.ndarray],
+    num_classes: int,
+    crop: Tuple[int, int] = (512, 512),
+    stride: Tuple[int, int] = (341, 341),
+    window_batch: int = 8,
+) -> Sequence[np.ndarray]:
+    """Batched slide inference over MANY images per dispatch round.
+
+    ``slide_inference`` dispatches one 512^2 window at a time — on a full
+    VOC val sweep (1449 images x ~4 windows) that is thousands of
+    dispatch rounds and leaves a device mesh idle. This variant collects
+    every (image, window) task across the image list, groups tasks by
+    window shape (images smaller than the crop produce smaller windows),
+    stacks ``window_batch`` windows per ``logits_fn`` call (padding the
+    tail by repetition), and scatters window logits back into per-image
+    canvases. Numerically identical to per-window slide_inference: eval
+    BatchNorm uses running stats, so rows of the batch never interact.
+
+    logits_fn: (B, ch, cw, 3) -> (B, ch, cw, K), e.g. a mesh-sharded
+    SegLinearProbe.predict_logits. Returns one (H, W, K) fp32 canvas per
+    image, in input order.
+    """
+    sh, sw = stride
+    canvases = [
+        np.zeros((im.shape[0], im.shape[1], num_classes), np.float32)
+        for im in images
+    ]
+    counts = [np.zeros((im.shape[0], im.shape[1], 1), np.float32)
+              for im in images]
+    tasks: Dict[Tuple[int, int], list] = {}
+    for i, im in enumerate(images):
+        h, w = im.shape[:2]
+        ch, cw = min(crop[0], h), min(crop[1], w)
+        grids_h = max(int(np.ceil((h - ch) / sh)) + 1, 1)
+        grids_w = max(int(np.ceil((w - cw) / sw)) + 1, 1)
+        for gy in range(grids_h):
+            for gx in range(grids_w):
+                y1 = min(gy * sh, h - ch)
+                x1 = min(gx * sw, w - cw)
+                tasks.setdefault((ch, cw), []).append((i, y1, x1))
+    for (ch, cw), group in tasks.items():
+        for s in range(0, len(group), window_batch):
+            chunk = group[s : s + window_batch]
+            batch = np.stack([
+                images[i][y1 : y1 + ch, x1 : x1 + cw]
+                for i, y1, x1 in chunk
+            ])
+            if len(chunk) < window_batch:  # static shape for one compile
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:],
+                                      window_batch - len(chunk), 0)])
+            logits = np.asarray(logits_fn(jnp.asarray(batch)))
+            for (i, y1, x1), lg in zip(chunk, logits):
+                canvases[i][y1 : y1 + ch, x1 : x1 + cw] += lg
+                counts[i][y1 : y1 + ch, x1 : x1 + cw] += 1
+    return [c / np.maximum(n, 1) for c, n in zip(canvases, counts)]
 
 
 class ConfusionAccumulator:

@@ -131,6 +131,60 @@ def convert_denoiser_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return p
 
 
+def _conv(tree, dst, sd, src):
+    """torch Conv2d (out, in, kh, kw) -> flax Conv kernel (kh, kw, in, out)."""
+    _set(tree, f"{dst}/kernel", _t(sd[f"{src}.weight"]).transpose(2, 3, 1, 0))
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+
+def convert_dpt_state_dict(sd: Mapping[str, Any],
+                           prefix: str = "decode_head.") -> Dict[str, Any]:
+    """Convert a reference DPTHead torch state dict (evaluation/depth/
+    models/decode_heads/dpt_head.py) to our ``DPTHead(variant="reference")``
+    params.
+
+    Mapping (reference module -> our param name):
+      reassemble_blocks.projects.{i}.conv   -> reassemble_{i}_proj
+      reassemble_blocks.resize_layers.{0,1} -> reassemble_{0,1}_deconv_*
+        (torch ConvTranspose2d weight keeps its native (in, out, kH, kW)
+        layout — block_deconv consumes it directly)
+      reassemble_blocks.resize_layers.3     -> reassemble_3_down
+      convs.{i}.conv                        -> scratch_{i}
+      fusion_blocks.{i} (0 = coarsest)      -> fusion_{3-i}
+      project.conv                          -> project_out
+      conv_depth.head.{0,2,4}               -> head_conv{1,2,3}
+    """
+    if prefix:
+        pref = {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+        sd = pref or dict(sd)
+    p: Dict[str, Any] = {}
+    for i in range(4):
+        _conv(p, f"reassemble_{i}_proj", sd,
+              f"reassemble_blocks.projects.{i}.conv")
+        _conv(p, f"scratch_{i}", sd, f"convs.{i}.conv")
+    for i, k in ((0, 4), (1, 2)):
+        _set(p, f"reassemble_{i}_deconv_kernel",
+             _t(sd[f"reassemble_blocks.resize_layers.{i}.weight"]))
+        _set(p, f"reassemble_{i}_deconv_bias",
+             _t(sd[f"reassemble_blocks.resize_layers.{i}.bias"]))
+    _conv(p, "reassemble_3_down", sd, "reassemble_blocks.resize_layers.3")
+    for ref_i in range(4):
+        ours = f"fusion_{3 - ref_i}"
+        base = f"fusion_blocks.{ref_i}"
+        _conv(p, f"{ours}/project", sd, f"{base}.project.conv")
+        units = ("res_conv_unit2",) if ref_i == 0 else (
+            "res_conv_unit1", "res_conv_unit2")
+        for u in units:
+            _conv(p, f"{ours}/rcu{u[-1]}/conv1", sd, f"{base}.{u}.conv1.conv")
+            _conv(p, f"{ours}/rcu{u[-1]}/conv2", sd, f"{base}.{u}.conv2.conv")
+    _conv(p, "project_out", sd, "project.conv")
+    for ours, idx in (("head_conv1", 0), ("head_conv2", 2), ("head_conv3", 4)):
+        _conv(p, ours, sd, f"conv_depth.head.{idx}")
+    return p
+
+
 def load_torch_vit_checkpoint(path: str, cfg: ViTConfig) -> Dict[str, Any]:
     import torch
 

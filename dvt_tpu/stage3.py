@@ -134,8 +134,18 @@ class Stage3Trainer:
                 jnp.zeros((), jnp.int32), NamedSharding(mesh, P())
             ),
         }
+        teacher_vit = shard_params(mesh, teacher_vit_params, tp)
+        # the usual init passes the SAME arrays as student and teacher
+        # (main_distillation.py: both from one ViTWrapper); the train step
+        # donates the student state, and a donated buffer appearing again
+        # as the teacher argument in the same Execute() is an XLA error
+        # ("attempt to use a buffer that was previously donated"). The
+        # aliasing survives shard_params (device_put reuses committed
+        # buffers), so give the teacher its own copy unconditionally —
+        # a one-time ViT-sized allocation.
+        teacher_vit = jax.tree.map(jnp.copy, teacher_vit)
         self.teacher = {
-            "vit": shard_params(mesh, teacher_vit_params, tp),
+            "vit": teacher_vit,
             "denoiser": shard_params(mesh, denoiser_params, False),
         }
 

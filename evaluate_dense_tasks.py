@@ -73,6 +73,19 @@ def get_args():
                    help="seg: write palette-painted prediction pngs to "
                         "<work_dir>/maps/ at each eval (reference "
                         "colormaps.py equivalents, eval/colormaps.py)")
+    p.add_argument("--depth_head", type=str, default="linear",
+                   choices=("linear", "dpt", "dpt_reference"),
+                   help="nyu probe head: linear BNHead (reference recipe), "
+                        "DPT (TPU-fast bilinear reassembles), or the "
+                        "torch-checkpoint-compatible DPT variant")
+    p.add_argument("--seg_window_batch", type=int, default=8,
+                   help="slide-inference windows stacked per jitted call "
+                        "(batched + mesh-sharded val inference)")
+    p.add_argument("--flip_tta", action="store_true",
+                   help="hflip test-time augmentation: average softmax "
+                        "(seg) / depth maps over the flipped pass "
+                        "(MultiScaleFlipAug flip=True; the shipped "
+                        "reference configs use flip=False)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--det_proposals", type=int, default=300,
                    help="voc_det: RPN proposals kept after NMS; the NMS "
@@ -83,7 +96,7 @@ def get_args():
     return p.parse_args()
 
 
-def build_feature_fn(args, return_cls_token: bool = False):
+def build_feature_fn(args, return_cls_token: bool = False, out_indices=None):
     import jax.numpy as jnp
 
     from dvt_tpu.eval.glue import make_feature_fn
@@ -107,6 +120,7 @@ def build_feature_fn(args, return_cls_token: bool = False):
         wrapper, denoiser, denoiser_params,
         pad_multiple=wrapper.patch_size,
         return_cls_token=return_cls_token,
+        out_indices=out_indices,
     )
     return fn, fparams, wrapper
 
@@ -129,7 +143,7 @@ def run_seg(args, cfg):
     from dvt_tpu.data.prefetch import DataLoader
     from dvt_tpu.data.samplers import InfiniteSampler
     from dvt_tpu.eval.datasets import SegDataset
-    from dvt_tpu.eval.seg import SegLinearProbe, ConfusionAccumulator, slide_inference
+    from dvt_tpu.eval.seg import SegLinearProbe, ConfusionAccumulator
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
@@ -165,35 +179,61 @@ def run_seg(args, cfg):
     metrics_path = os.path.join(args.work_dir, "eval_metrics.json")
 
     def evaluate(state, step):
+        from dvt_tpu.eval.seg import slide_inference_batched
+        from dvt_tpu.eval.tta import softmax_np
+
         acc = ConfusionAccumulator(cfg["num_classes"])
         n = len(val_ds) if args.max_val_images is None else min(
             len(val_ds), args.max_val_images
         )
-        for i in range(n):
-            item = val_ds[i]
-            logits = slide_inference(
-                lambda im: probe.predict_logits(state, im),
-                item["image"], cfg["num_classes"],
+        # batched + mesh-sharded val inference: windows from a chunk of
+        # images are stacked and run through ONE jitted logits call per
+        # window_batch (the depth eval's pattern; the reference evals are
+        # 8-way DDP, evaluation/depth/apis/train.py:61-66). Per-window
+        # loops measured ~4 dispatch rounds/image on VOC — this cuts that
+        # by ~window_batch at identical mIoU (eval BN never mixes rows).
+        img_chunk = max(args.seg_window_batch * 4, 8)
+        for c0 in range(0, n, img_chunk):
+            idxs = list(range(c0, min(c0 + img_chunk, n)))
+            items = [val_ds[i] for i in idxs]
+            imgs = [it["image"] for it in items]
+            if args.flip_tta:
+                # MultiScaleFlipAug(flip=True) semantics: run the full
+                # slide pass on the hflipped image too, flip logits back,
+                # average softmax probabilities (encoder_decoder.py:229-261)
+                imgs = imgs + [im[:, ::-1] for im in imgs]
+            logit_maps = slide_inference_batched(
+                lambda b: probe.predict_logits(state, b),
+                imgs, cfg["num_classes"],
+                window_batch=args.seg_window_batch,
             )
-            pred = logits.argmax(-1).astype(np.int64)
-            # resize pred back to the label's native resolution
-            from dvt_tpu.eval.datasets import _nearest_resize_u8
+            for j, (i, item) in enumerate(zip(idxs, items)):
+                if args.flip_tta:
+                    probs = (softmax_np(logit_maps[j])
+                             + softmax_np(logit_maps[j + len(items)])[:, ::-1])
+                    pred = probs.argmax(-1).astype(np.int64)
+                else:
+                    pred = logit_maps[j].argmax(-1).astype(np.int64)
+                # resize pred back to the label's native resolution
+                from dvt_tpu.eval.datasets import _nearest_resize_u8
 
-            if pred.shape != item["label"].shape:
-                pred = _nearest_resize_u8(
-                    pred.astype(np.uint8), item["label"].shape
-                ).astype(np.int64)
-            acc.add(pred, np.asarray(item["label"], np.int64))
-            if args.save_maps:
-                from PIL import Image
+                if pred.shape != item["label"].shape:
+                    pred = _nearest_resize_u8(
+                        pred.astype(np.uint8), item["label"].shape
+                    ).astype(np.int64)
+                acc.add(pred, np.asarray(item["label"], np.int64))
+                if args.save_maps:
+                    from PIL import Image
 
-                from dvt_tpu.eval.colormaps import paint_label_map, palette_for
+                    from dvt_tpu.eval.colormaps import (
+                        paint_label_map, palette_for)
 
-                os.makedirs(os.path.join(args.work_dir, "maps"), exist_ok=True)
-                Image.fromarray(
-                    paint_label_map(pred, palette_for(args.task))
-                ).save(os.path.join(args.work_dir, "maps",
-                                    f"iter{step}_{i:04d}.png"))
+                    os.makedirs(os.path.join(args.work_dir, "maps"),
+                                exist_ok=True)
+                    Image.fromarray(
+                        paint_label_map(pred, palette_for(args.task))
+                    ).save(os.path.join(args.work_dir, "maps",
+                                        f"iter{step}_{i:04d}.png"))
         res = acc.results()
         res["iteration"] = step
         with open(metrics_path, "a") as f:
@@ -302,9 +342,21 @@ def run_depth(args, cfg):
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
-    # depth probes feed the head (patch map, cls token) pairs
-    # (vitb_nyu_linear_config.py:147, eval_utils/misc.py:159-188)
-    feature_fn, fparams, wrapper = build_feature_fn(args, return_cls_token=True)
+    dpt = args.depth_head != "linear"
+    if dpt:
+        # DPT head taps 4 depths (the DPT-ViT convention; the reference's
+        # DPTHead ships without a config — dvt_tpu/eval/dpt.py)
+        depth_total = zoo.get_model_config(args.model).depth
+        taps = tuple(round((i + 1) * depth_total / 4) - 1 for i in range(4))
+        feature_fn, fparams, wrapper = build_feature_fn(
+            args, out_indices=taps)
+        use_cls = False
+    else:
+        # depth probes feed the head (patch map, cls token) pairs
+        # (vitb_nyu_linear_config.py:147, eval_utils/misc.py:159-188)
+        feature_fn, fparams, wrapper = build_feature_fn(
+            args, return_cls_token=True)
+        use_cls = True
     train_ds = NYUDepthDataset(
         args.data_root, "nyu_train.txt", train=True, seed=args.seed
     )
@@ -314,7 +366,7 @@ def run_depth(args, cfg):
     mesh = build_mesh()
     probe = DepthLinearProbe(
         feature_fn, feature_params=fparams, mesh=mesh,
-        use_cls_token=True,
+        use_cls_token=use_cls, head_type=args.depth_head,
         lr=cfg["lr"], weight_decay=cfg["wd"],
         total_iters=args.num_iterations or cfg["iters"], seed=args.seed,
     )
@@ -348,6 +400,12 @@ def run_depth(args, cfg):
             # probe.predict pads the batch to a data-axis multiple (and
             # trims) internally, so any batch size is safe here
             preds = np.asarray(probe.predict(state, jnp.asarray(imgs)))
+            if args.flip_tta:
+                # depth TTA averages predicted maps directly
+                # (depth/models/depther/encoder_decoder.py:146-259)
+                pf = np.asarray(probe.predict(
+                    state, jnp.asarray(imgs[:, :, ::-1])))
+                preds = (preds + pf[:, :, ::-1]) / 2.0
             for (img, gt), pred in zip(pending, preds):
                 shape = gt.shape
                 if shape not in mask_cache:
@@ -443,15 +501,23 @@ def run_det(args, cfg):
             item = val_ds[i]
             boxes, scores, classes, ok = probe.predict(
                 state, jnp.asarray(item["image"][None]))
-            keep = np.asarray(ok[0]) & (np.asarray(scores[0]) > 0.05)
+            # mmdet test_cfg semantics: score_thr 0.05 then top
+            # max_per_img=100 by score (models/faster_rcnn_r50_fpn.py)
+            sc = np.asarray(scores[0])
+            keep = np.asarray(ok[0]) & (sc > 0.05)
+            if keep.sum() > 100:
+                thr = np.sort(sc[keep])[-100]
+                keep &= sc >= thr
             dets.append({
                 "boxes": np.asarray(boxes[0])[keep],
-                "scores": np.asarray(scores[0])[keep],
+                "scores": sc[keep],
                 "classes": np.asarray(classes[0])[keep],
             })
+            ann = item["valid"] | item["difficult"]
             gts.append({
-                "boxes": item["boxes"][item["valid"]],
-                "classes": item["labels"][item["valid"]],
+                "boxes": item["boxes"][ann],
+                "classes": item["labels"][ann],
+                "difficult": item["difficult"][ann],
             })
         res = voc_ap50(dets, gts, train_ds.num_classes)
         res = {"mAP50": res["mAP50"], "iteration": step, "num_images": n}
@@ -478,6 +544,10 @@ def run_det(args, cfg):
 
 
 def main():
+    from dvt_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DVT_PLATFORM=cpu forces host (axon ignores JAX_PLATFORMS)
+
     args = get_args()
     os.makedirs(args.work_dir, exist_ok=True)
     cfg = TASKS[args.task]

@@ -63,6 +63,10 @@ def get_args():
 
 
 def main():
+    from dvt_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DVT_PLATFORM=cpu forces host (axon ignores JAX_PLATFORMS)
+
     args = get_args()
     import jax
     import jax.numpy as jnp
@@ -127,6 +131,11 @@ def main():
     )
     # each process loads only its share; shard_batch assembles the global
     # batch from the per-process rows (multi-host) or device_puts (1 host)
+    if global_bs % jax.process_count():
+        raise SystemExit(
+            f"--batch_size {global_bs} must be divisible by the process "
+            f"count {jax.process_count()} (each process loads an equal "
+            "share of the global batch)")
     local_bs = global_bs // jax.process_count()
     loader = DataLoader(
         dataset, local_bs, sampler, num_workers=args.num_workers,

@@ -86,6 +86,10 @@ def load_denoiser_params(path):
 
 
 def main():
+    from dvt_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DVT_PLATFORM=cpu forces host (axon ignores JAX_PLATFORMS)
+
     args = get_args()
     import jax
     import jax.numpy as jnp
@@ -159,6 +163,11 @@ def main():
         len(dataset), jax.process_count(), jax.process_index()
     )
     # per-process share; shard_batch assembles the global batch
+    if global_bs % jax.process_count():
+        raise SystemExit(
+            f"--batch_size {global_bs} must be divisible by the process "
+            f"count {jax.process_count()} (each process loads an equal "
+            "share of the global batch)")
     loader = DataLoader(
         dataset, global_bs // jax.process_count(), sampler,
         num_workers=args.num_workers,

@@ -117,6 +117,10 @@ def collect_filenames(args):
 
 
 def main():
+    from dvt_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DVT_PLATFORM=cpu forces host (axon ignores JAX_PLATFORMS)
+
     args = get_args()
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"Arguments:\n{json.dumps(vars(args), indent=2)}")

@@ -69,6 +69,10 @@ def write_video(path, frames, fps):
 
 
 def main():
+    from dvt_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DVT_PLATFORM=cpu forces host (axon ignores JAX_PLATFORMS)
+
     args = get_args()
     import jax.numpy as jnp
 

@@ -162,6 +162,44 @@ def test_voc_ap_perfect_and_empty(rng):
     assert voc_ap50(dets0, gts, 2)["mAP50"] == pytest.approx(0.0)
 
 
+def test_voc_ap_difficult_ignore(rng):
+    """Official VOCdevkit semantics: a detection whose best match is a
+    difficult GT is neither TP nor FP, and difficult GT don't count
+    toward the recall denominator."""
+    gt_boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    gts = [{"boxes": gt_boxes, "classes": np.array([0, 0]),
+            "difficult": np.array([False, True])}]
+    # det0 hits the normal GT, det1 hits the difficult GT
+    dets = [{
+        "boxes": gt_boxes + 0.5,
+        "scores": np.array([0.9, 0.8], np.float32),
+        "classes": np.array([0, 0]),
+    }]
+    res = voc_ap50(dets, gts, num_classes=1)
+    # n_gt == 1 (difficult excluded), det1 ignored -> perfect PR curve
+    assert res["mAP50"] == pytest.approx(1.0)
+
+    # without the flag the same dets score 1.0 against n_gt=2 as well
+    # (both match), but a detection on ONLY the difficult box must not
+    # create a false positive when flagged
+    dets_only_diff = [{
+        "boxes": gt_boxes[1:] + 0.5,
+        "scores": np.array([0.8], np.float32),
+        "classes": np.array([0]),
+    }]
+    res2 = voc_ap50(dets_only_diff, gts, num_classes=1)
+    assert res2["mAP50"] == pytest.approx(0.0)  # no TP, no FP, recall 0
+    # and the ignored det didn't get recorded as FP: adding a lower-score
+    # TP det still reaches AP 1.0 (an FP above it would cap precision)
+    dets_mixed = [{
+        "boxes": np.concatenate([gt_boxes[1:] + 0.5, gt_boxes[:1] + 0.5]),
+        "scores": np.array([0.9, 0.5], np.float32),
+        "classes": np.array([0, 0]),
+    }]
+    res3 = voc_ap50(dets_mixed, gts, num_classes=1)
+    assert res3["mAP50"] == pytest.approx(1.0)
+
+
 def test_faster_rcnn_probe_overfits_synthetic(rng):
     """End-to-end: frozen 'backbone' (identity conv features) + probe
     overfits 2 images with one box each; AP@0.5 reaches 1.0."""

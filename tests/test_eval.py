@@ -94,6 +94,32 @@ class TestSegPieces:
         assert out.shape == (70, 90, 4)
         np.testing.assert_allclose(out, 1.0)  # count-normalized overlaps
 
+    def test_slide_inference_batched_matches_per_window(self, rng):
+        """Batched window inference is bitwise-equal to the per-window
+        loop (same windows, same math, count-normalized the same) across
+        mixed image sizes — incl. images smaller than the crop."""
+        from dvt_tpu.eval.seg import slide_inference_batched
+
+        def logits_fn(x):
+            # content-dependent so a window mix-up would be caught
+            x = jnp.asarray(x)
+            return jnp.stack(
+                [x[..., 0], 2 * x[..., 1], x[..., 2] - x[..., 0]], -1)
+
+        images = [
+            np.asarray(rng.random((70, 90, 3)), np.float32),
+            np.asarray(rng.random((40, 61, 3)), np.float32),  # < crop
+            np.asarray(rng.random((70, 90, 3)), np.float32),
+        ]
+        batched = slide_inference_batched(
+            logits_fn, images, 3, crop=(32, 32), stride=(24, 24),
+            window_batch=4)
+        for im, out in zip(images, batched):
+            ref = slide_inference(
+                lambda p: logits_fn(p),
+                im, 3, crop=(32, 32), stride=(24, 24))
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
     def test_probe_learns_linear_task(self):
         # synthetic: class = argmax of channel triple at each location
         def feature_fn(images):

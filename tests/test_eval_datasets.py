@@ -156,7 +156,8 @@ def test_custom_depth_dataset(tmp_path):
 
 
 def test_voc_detection_dataset(tmp_path):
-    """XML parse, class discovery, square resize + box scaling, hflip."""
+    """XML parse, class discovery, keep-ratio resize + pad + box scaling,
+    difficult-flag plumbing, hflip."""
     import numpy as np
     from PIL import Image
 
@@ -175,6 +176,9 @@ def test_voc_detection_dataset(tmp_path):
         "<xmax>60</xmax><ymax>50</ymax></bndbox></object>"
         "<object><name>dog</name><bndbox><xmin>101</xmin><ymin>1</ymin>"
         "<xmax>200</xmax><ymax>100</ymax></bndbox></object>"
+        "<object><name>cat</name><difficult>1</difficult>"
+        "<bndbox><xmin>1</xmin><ymin>1</ymin>"
+        "<xmax>10</xmax><ymax>10</ymax></bndbox></object>"
         "<object><name>ghost</name><difficult>1</difficult>"
         "<bndbox><xmin>1</xmin><ymin>1</ymin>"
         "<xmax>10</xmax><ymax>10</ymax></bndbox></object>"
@@ -183,18 +187,29 @@ def test_voc_detection_dataset(tmp_path):
 
     ds = VOCDetectionDataset(str(root), "train", image_size=128,
                              train=False)
-    # difficult object excluded from classes and targets (VOC protocol)
+    # difficult objects excluded from class discovery and train targets,
+    # but kept (flagged) for ignore-matching at AP time (VOC protocol);
+    # a class that only ever appears difficult ('ghost') is dropped
+    # entirely — it has no trainable instances and no class id to
+    # ignore-match against
     assert ds.classes == ("cat", "dog")
     item = ds[0]
     assert item["image"].shape == (128, 128, 3)
-    # 1-based inclusive xml -> 0-based half-open, then x scaled by
-    # 128/200, y by 128/100
+    # keep_ratio resize (mmdet Resize): one uniform scale
+    # min(128/200, 128/100) = 0.64 on both axes, padded bottom to 128
     np.testing.assert_allclose(
-        item["boxes"][0], [20 * 0.64, 10 * 1.28, 60 * 0.64, 50 * 1.28])
+        item["boxes"][0], [20 * 0.64, 10 * 0.64, 60 * 0.64, 50 * 0.64])
+    # padded rows are 0 (mmdet pads after normalize)
+    assert np.abs(item["image"][64:]).max() == 0
     assert item["valid"][:2].all() and not item["valid"][2:].any()
+    assert not item["difficult"][:2].any() and item["difficult"][2]
+    # the difficult box rides along for the eval ignore set
+    np.testing.assert_allclose(
+        item["boxes"][2], [0.0, 0.0, 10 * 0.64, 10 * 0.64])
     assert tuple(item["labels"][:2]) == (0, 1)
 
-    # train-mode hflip keeps boxes inside [0, size] and preserves width
+    # train-mode hflip keeps boxes inside the resized region and
+    # preserves width (flip happens before padding, over nw=128)
     ds_t = VOCDetectionDataset(str(root), "train", image_size=128,
                                train=True, seed=3)
     for _ in range(6):

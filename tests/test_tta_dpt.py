@@ -76,6 +76,126 @@ class TestDPTHead:
         d = np.asarray(depth)
         assert (d > 0).all() and (d <= 10.002).all()
 
+    def test_reference_variant_matches_torch_oracle(self, rng):
+        """variant='reference' + convert_dpt_state_dict reproduce the
+        reference DPTHead numerics: a synthetic torch state dict (the
+        reference's key names/layouts, dpt_head.py) is converted and the
+        flax forward is checked against an independent functional-torch
+        implementation of the reference head."""
+        import torch
+        import torch.nn.functional as F
+
+        from dvt_tpu.models.convert import convert_dpt_state_dict
+
+        C, chs, ch, B, h, w = 12, (8, 12, 16, 24), 16, 1, 5, 6
+        g = torch.Generator().manual_seed(0)
+
+        def t(*shape):
+            return torch.randn(*shape, generator=g) * 0.2
+
+        sd = {}
+        for i, c in enumerate(chs):
+            sd[f"reassemble_blocks.projects.{i}.conv.weight"] = t(c, C, 1, 1)
+            sd[f"reassemble_blocks.projects.{i}.conv.bias"] = t(c)
+            sd[f"convs.{i}.conv.weight"] = t(ch, c, 3, 3)
+        sd["reassemble_blocks.resize_layers.0.weight"] = t(chs[0], chs[0], 4, 4)
+        sd["reassemble_blocks.resize_layers.0.bias"] = t(chs[0])
+        sd["reassemble_blocks.resize_layers.1.weight"] = t(chs[1], chs[1], 2, 2)
+        sd["reassemble_blocks.resize_layers.1.bias"] = t(chs[1])
+        sd["reassemble_blocks.resize_layers.3.weight"] = t(chs[3], chs[3], 3, 3)
+        sd["reassemble_blocks.resize_layers.3.bias"] = t(chs[3])
+        for i in range(4):
+            sd[f"fusion_blocks.{i}.project.conv.weight"] = t(ch, ch, 1, 1)
+            sd[f"fusion_blocks.{i}.project.conv.bias"] = t(ch)
+            units = ["res_conv_unit2"] if i == 0 else [
+                "res_conv_unit1", "res_conv_unit2"]
+            for u in units:
+                sd[f"fusion_blocks.{i}.{u}.conv1.conv.weight"] = t(ch, ch, 3, 3)
+                sd[f"fusion_blocks.{i}.{u}.conv2.conv.weight"] = t(ch, ch, 3, 3)
+        sd["project.conv.weight"] = t(ch, ch, 3, 3)
+        sd["project.conv.bias"] = t(ch)
+        sd["conv_depth.head.0.weight"] = t(ch // 2, ch, 3, 3)
+        sd["conv_depth.head.0.bias"] = t(ch // 2)
+        sd["conv_depth.head.2.weight"] = t(32, ch // 2, 3, 3)
+        sd["conv_depth.head.2.bias"] = t(32)
+        sd["conv_depth.head.4.weight"] = t(1, 32, 1, 1)
+        sd["conv_depth.head.4.bias"] = t(1)
+
+        feats_np = [rng.standard_normal((B, h, w, C)).astype(np.float32)
+                    for _ in range(4)]
+
+        # --- functional torch oracle (reference forward, NCHW) ---
+        def rcu(x, base):
+            y = F.conv2d(F.relu(x), sd[f"{base}.conv1.conv.weight"],
+                         padding=1)
+            y = F.conv2d(F.relu(y), sd[f"{base}.conv2.conv.weight"],
+                         padding=1)
+            return x + y
+
+        def fusion(i, x, skip):
+            if skip is not None:
+                if skip.shape != x.shape:
+                    skip = F.interpolate(skip, size=x.shape[2:],
+                                         mode="bilinear",
+                                         align_corners=False)
+                x = x + rcu(skip, f"fusion_blocks.{i}.res_conv_unit1")
+            x = rcu(x, f"fusion_blocks.{i}.res_conv_unit2")
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+            return F.conv2d(x, sd[f"fusion_blocks.{i}.project.conv.weight"],
+                            sd[f"fusion_blocks.{i}.project.conv.bias"])
+
+        with torch.no_grad():
+            xs = []
+            for i in range(4):
+                x = torch.from_numpy(feats_np[i]).permute(0, 3, 1, 2)
+                x = F.conv2d(x, sd[f"reassemble_blocks.projects.{i}.conv.weight"],
+                             sd[f"reassemble_blocks.projects.{i}.conv.bias"])
+                if i == 0:
+                    x = F.conv_transpose2d(
+                        x, sd["reassemble_blocks.resize_layers.0.weight"],
+                        sd["reassemble_blocks.resize_layers.0.bias"], stride=4)
+                elif i == 1:
+                    x = F.conv_transpose2d(
+                        x, sd["reassemble_blocks.resize_layers.1.weight"],
+                        sd["reassemble_blocks.resize_layers.1.bias"], stride=2)
+                elif i == 3:
+                    x = F.conv2d(
+                        x, sd["reassemble_blocks.resize_layers.3.weight"],
+                        sd["reassemble_blocks.resize_layers.3.bias"],
+                        stride=2, padding=1)
+                x = F.conv2d(x, sd[f"convs.{i}.conv.weight"], padding=1)
+                xs.append(x)
+            out = fusion(0, xs[3], None)
+            for i, j in ((1, 2), (2, 1), (3, 0)):
+                out = fusion(i, out, xs[j])
+            out = F.relu(F.conv2d(out, sd["project.conv.weight"],
+                                  sd["project.conv.bias"], padding=1))
+            out = F.conv2d(out, sd["conv_depth.head.0.weight"],
+                           sd["conv_depth.head.0.bias"], padding=1)
+            out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                                align_corners=True)
+            out = F.relu(F.conv2d(out, sd["conv_depth.head.2.weight"],
+                                  sd["conv_depth.head.2.bias"], padding=1))
+            out = F.conv2d(out, sd["conv_depth.head.4.weight"],
+                           sd["conv_depth.head.4.bias"])
+            ref_depth = (F.relu(out) + 0.001)[:, 0].numpy()
+
+        head = DPTHead(post_process_channels=chs, channels=ch,
+                       min_depth=0.001, max_depth=10.0, variant="reference")
+        params = convert_dpt_state_dict(sd, prefix="")
+        feats = [jnp.asarray(f) for f in feats_np]
+        # converted params must be structurally complete for the module
+        init_p = head.init(jax.random.PRNGKey(0), feats)["params"]
+        assert jax.tree_util.tree_structure(
+            jax.tree.map(np.shape, init_p)) == jax.tree_util.tree_structure(
+            jax.tree.map(np.shape, params))
+        ours = np.asarray(head.apply({"params": params}, feats))
+        # fp32 accumulation noise through the 4-level conv stack reaches
+        # ~2e-4 by fusion_0 (verified stage-by-stage: reassembles ~1e-6,
+        # fusions 7e-6 -> 2e-4); the two impls are structurally identical
+        np.testing.assert_allclose(ours, ref_depth, rtol=2e-3, atol=5e-4)
+
     def test_odd_grid(self, rng):
         """Odd feature grids (the DEFAULT DINOv2 37x37 regime): the
         stride-2 reassemble gives ceil(h/2), whose 2x upsample overshoots

@@ -83,10 +83,10 @@ def _draw_shape(rng, img, label, cls, h, w):
 
 def _voc_xml(name, h, w, objects):
     objs = "".join(
-        f"<object><name>{cls}</name><difficult>0</difficult>"
+        f"<object><name>{cls}</name><difficult>{int(diff)}</difficult>"
         f"<bndbox><xmin>{x0}</xmin><ymin>{y0}</ymin>"
         f"<xmax>{x1}</xmax><ymax>{y1}</ymax></bndbox></object>"
-        for cls, (x0, y0, x1, y1) in objects
+        for cls, (x0, y0, x1, y1), diff in objects
     )
     return (
         f"<annotation><filename>{name}.jpg</filename>"
@@ -119,11 +119,14 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
                     continue
                 # every drawn shape gets a box (an unannotated visible
                 # object would score correct detections as false
-                # positives); VOC XML coords are 1-based inclusive
+                # positives); VOC XML coords are 1-based inclusive.
+                # ~15% are flagged 'difficult' so the AP ignore-matching
+                # path is exercised on synthetic data too
                 objects.append(
                     (f"shape{cls}",
                      (int(xs.min()) + 1, int(ys.min()) + 1,
-                      int(xs.max()) + 1, int(ys.max()) + 1))
+                      int(xs.max()) + 1, int(ys.max()) + 1),
+                     bool(rng.random() < 0.15))
                 )
             Image.fromarray(
                 np.clip(img, 0, 255).astype(np.uint8)
