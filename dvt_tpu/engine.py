@@ -62,6 +62,9 @@ class Stage1Engine:
     table_sweep_every: int = 1  # K-step deferred hash-table Adam sweep
     level_sample: int = 0  # level dropout: gather levels sampled per step
     vit_dtype: str = "bfloat16"
+    extract_attention: str = "einsum"  # "flash": Pallas kernel in the
+    # extraction ViT forward (1369 tokens at 518/str14) — A/B'd by
+    # tools/ab_extract.py
     vit_params: Optional[dict] = None
     checkpoint_path: Optional[str] = None
     seed: int = 0
@@ -84,6 +87,7 @@ class Stage1Engine:
             params=self.vit_params,
             checkpoint_path=self.checkpoint_path,
             dtype=jnp.dtype(self.vit_dtype),
+            attention_impl=self.extract_attention,
             seed=self.seed,
         )
         self.layer_index = int(

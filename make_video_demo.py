@@ -42,7 +42,9 @@ def get_args():
                         "attention - at stride 4 the grid is ~26k tokens "
                         "and quadratic SDPA would materialize the score "
                         "matrix")
-    p.add_argument("--input_size", type=int, default=294)
+    p.add_argument("--input_size", type=int, default=294, nargs="+",
+                   help="H [W]; the reference demo runs 490 854 at stride "
+                        "4 (~25.3k tokens, make_video_demo.py:21-27)")
     p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--stats_frames", type=int, default=8,
                    help="frames used to fit shared PCA stats")
@@ -113,7 +115,9 @@ def main():
     feature_fn, fparams = make_feature_fn(wrapper, denoiser, denoiser_params)
     raw_fn, raw_params = make_feature_fn(wrapper)  # raw mode for side-by-side
 
-    size = (args.input_size, args.input_size)
+    hw = args.input_size if isinstance(args.input_size, list) else [
+        args.input_size]
+    size = (hw[0], hw[1] if len(hw) > 1 else hw[0])
     mean = np.asarray(wrapper.cfg.mean, np.float32)
     std = np.asarray(wrapper.cfg.std, np.float32)
 

@@ -89,6 +89,12 @@ def main():
     p.add_argument("--out", default="/tmp/quality_sweep.jsonl")
     args = p.parse_args()
 
+    if not os.environ.get("QS_CPU"):
+        from bench import wait_for_device
+
+        if not wait_for_device(1800):
+            raise SystemExit("device never became ready")
+
     from dvt_tpu.data.single_image import load_image
     from dvt_tpu.engine import Stage1Engine
     from dvt_tpu.stage1 import fit_image_batch_chunked
