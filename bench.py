@@ -123,6 +123,11 @@ def main():
     # (tools/quality_stage1.py lvl4; lvl6 measured SLOWER - regime change -
     # and lvl2's quality dips to 0.9852 p5). BENCH_LVLSAMPLE=0 disables.
     level_sample = int(os.environ.get("BENCH_LVLSAMPLE", "4"))
+    # Extraction chunk width (lax.map over rendered views). 128 measured
+    # 4.37 -> 3.64 s / 768 views (tools/ab_extract.py, round 3) at feature
+    # cosine 1.0 vs bsz32 - a pure dispatch-width change, bit-compatible.
+    extract_bsz = int(os.environ.get("BENCH_EXTRACT_BSZ", "128"))
+    extract_bsz = min(extract_bsz, num_views)
     # Deferred table sweep (stage1.py table_sweep_every): dense Adam over the
     # hash table once every K steps on accumulated row grads. K=16 measured
     # ~1.2x on the fit step and quality-validated at the full 25k-iter
@@ -139,6 +144,7 @@ def main():
         table_sweep_every=sweep_every,
         n_levels=n_levels,
         level_sample=level_sample,
+        extract_bsz=extract_bsz,
     )
 
     img_path = find_demo_image()

@@ -44,7 +44,9 @@ def get_args():
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--min_lr", type=float, default=0.001)
     p.add_argument("--weight_decay", type=float, default=1e-5)
-    p.add_argument("--extract_bsz", type=int, default=32)
+    # 128 measured 4.37 -> 3.64 s / 768 views on device at feature cosine
+    # 1.0 vs 32 (tools/ab_extract.py) - a pure lax.map chunk-width change.
+    p.add_argument("--extract_bsz", type=int, default=128)
     p.add_argument("--pixel_bsz", type=int, default=2048)
     p.add_argument("--images_per_batch", type=int, default=4,
                    help="images fitted concurrently per chip (vmap width)")
@@ -137,7 +139,7 @@ def main():
         warmup_iters=args.warmup_iters,
         n_levels=args.n_levels,
         pixel_bsz=args.pixel_bsz,
-        extract_bsz=args.extract_bsz,
+        extract_bsz=min(args.extract_bsz, args.num_views),
         images_per_batch=args.images_per_batch,
         feature_dtype=args.feature_dtype,
         checkpoint_path=args.checkpoint_path,
