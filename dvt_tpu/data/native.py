@@ -63,6 +63,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
     ]
+    lib.dvt_load_npy_batch.restype = None
+    lib.dvt_load_npy_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.dvt_load_paired_batch.restype = None
+    lib.dvt_load_paired_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return _lib
 
@@ -107,6 +122,61 @@ def load_batch_native(paths: Sequence[str], out_hw: Tuple[int, int], mean, std
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, status
+
+
+def load_npy_batch_native(paths: Sequence[str], feat_shape: Tuple[int, ...]
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Batch .npy (<f4/<f2, C-order) -> (N, *feat_shape) f32 + status."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    elems = int(np.prod(feat_shape))
+    out = np.empty((n,) + tuple(feat_shape), np.float32)
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dvt_load_npy_batch(
+        arr, n, _fptr(out), elems,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, status
+
+
+def load_paired_batch_native(
+    img_paths: Sequence[str],
+    raw_paths: Sequence[str],
+    den_paths: Sequence[str],
+    out_hw: Tuple[int, int],
+    mean,
+    std,
+    feat_shape: Tuple[int, ...],
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Stage-2 sample batch fully in C++ (one OpenMP region, GIL released):
+    JPEG decode + AA-bicubic resize + normalize per image, plus its
+    (raw, denoised) .npy feature files. Returns (imgs, raw, den, status)
+    or None when the library / a non-JPEG input rules the fast path out."""
+    lib = get_lib()
+    if lib is None or not all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in img_paths
+    ):
+        return None
+    n = len(img_paths)
+    elems = int(np.prod(feat_shape))
+    imgs = np.empty((n, out_hw[0], out_hw[1], 3), np.float32)
+    raw = np.empty((n,) + tuple(feat_shape), np.float32)
+    den = np.empty((n,) + tuple(feat_shape), np.float32)
+    status = np.empty(n, np.int32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    ip = (ctypes.c_char_p * n)(*[p.encode() for p in img_paths])
+    rp = (ctypes.c_char_p * n)(*[p.encode() for p in raw_paths])
+    dp = (ctypes.c_char_p * n)(*[p.encode() for p in den_paths])
+    lib.dvt_load_paired_batch(
+        ip, rp, dp, n, out_hw[0], out_hw[1], _fptr(mean), _fptr(std),
+        _fptr(imgs), _fptr(raw), _fptr(den), elems,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return imgs, raw, den, status
 
 
 def resize_bicubic_native(img_u8: np.ndarray, out_hw: Tuple[int, int]

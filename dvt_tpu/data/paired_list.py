@@ -36,6 +36,7 @@ class PairedListDataset:
         with open(data_list) as f:
             self.img_paths = [ln.strip().split(" ")[0] for ln in f if ln.strip()]
         self._seed = seed
+        self._feat_shape = None  # probed lazily for the native batch path
         import itertools
         # per-call RNG (thread-safe under the threaded DataLoader)
         self._draw = itertools.count()
@@ -48,23 +49,28 @@ class PairedListDataset:
         # occurrence of the extension substring anywhere in the path
         return os.path.join(self.feat_root, os.path.splitext(rel)[0] + ".npy")
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _resolve(self, index: int) -> Tuple[str, str, str]:
+        """-> (rel image path, raw .npy, denoised .npy) for a usable sample.
+
+        BOTH feature files must exist; otherwise resample a random index
+        (reference resample-on-missing, paired_list_dataset.py:31-32) so
+        partially-finished stage-1 runs still train."""
         for _ in range(len(self.img_paths)):
             rel = self.img_paths[index]
             denoised_pth = self._denoised_path(rel)
             raw_pth = denoised_pth.replace("denoised_features",
                                            "raw_features")
-            # BOTH files must exist before this sample is usable
-            # (reference resample-on-missing, paired_list_dataset.py:31-32)
             if os.path.exists(denoised_pth) and os.path.exists(raw_pth):
-                break
+                return rel, raw_pth, denoised_pth
             rng = np.random.default_rng(
                 (self._seed, index, next(self._draw)))
             index = int(rng.integers(len(self.img_paths)))
-        else:
-            raise FileNotFoundError(
-                f"no stage-1 features found under {self.feat_root}"
-            )
+        raise FileNotFoundError(
+            f"no stage-1 features found under {self.feat_root}"
+        )
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rel, raw_pth, denoised_pth = self._resolve(index)
         img = load_image(os.path.join(self.data_root, rel))
         img = resize_image(img, self.input_size).astype(np.float32) / 255.0
         img = (img - self.mean) / self.std
@@ -73,3 +79,32 @@ class PairedListDataset:
             "original_feats": np.load(raw_pth).squeeze().astype(np.float32),
             "denoised_feats": np.load(denoised_pth).squeeze().astype(np.float32),
         }
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Whole-batch fast path through the native C++ loader: JPEG
+        decode + AA-bicubic resize + normalize plus both .npy feature
+        reads per sample, one OpenMP region, GIL released (the threaded
+        Python path serializes on the GIL around PIL/np.load on few-core
+        hosts). Returns None when unavailable (non-JPEG input, missing
+        library, unsupported .npy dtype) — the DataLoader then falls back
+        to per-item ``__getitem__``. Images differ from the PIL path only
+        by its post-resize uint8 quantization (<=1/255 pre-normalize)."""
+        from dvt_tpu.data.native import load_paired_batch_native
+
+        resolved = [self._resolve(i) for i in indices]
+        if self._feat_shape is None:
+            probe = np.load(resolved[0][1], mmap_mode="r")
+            self._feat_shape = tuple(np.squeeze(probe).shape)
+        out = load_paired_batch_native(
+            [os.path.join(self.data_root, rel) for rel, _, _ in resolved],
+            [r for _, r, _ in resolved],
+            [d for _, _, d in resolved],
+            self.input_size, self.mean, self.std, self._feat_shape,
+        )
+        if out is None:
+            return None
+        imgs, raw, den, status = out
+        if status.any():
+            return None
+        return {"image": imgs, "original_feats": raw,
+                "denoised_feats": den}

@@ -66,6 +66,11 @@ class DataLoader:
             # consumer, and a StopIteration from an exhausted finite
             # sampler must be wrapped — re-raising it inside the consumer
             # generator would surface as an opaque PEP-479 RuntimeError.
+            # native whole-batch fast path (dataset.get_batch -> C++
+            # OpenMP loader, GIL released); one None disables it for the
+            # epoch so a missing library / non-JPEG dataset doesn't pay
+            # the probe on every batch.
+            use_get_batch = hasattr(self.dataset, "get_batch")
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     while not stop.is_set():
@@ -77,9 +82,14 @@ class DataLoader:
                                 "sampler exhausted mid-batch: DataLoader "
                                 "expects an infinite sampler"))
                             return
-                        items = list(
-                            pool.map(self.dataset.__getitem__, idxs))
-                        batch = _stack(items)
+                        batch = None
+                        if use_get_batch:
+                            batch = self.dataset.get_batch(idxs)
+                            use_get_batch = batch is not None
+                        if batch is None:
+                            items = list(
+                                pool.map(self.dataset.__getitem__, idxs))
+                            batch = _stack(items)
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
                         if not put(batch):

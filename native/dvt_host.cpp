@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 #include <jpeglib.h>
@@ -149,9 +150,146 @@ void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int oh,
   }
 }
 
+// ---- minimal .npy reader (stage-2 feature pairs) ----
+//
+// Stage 1 writes features with np.save(float32) (dvt_tpu/engine.py
+// save_features); stage 2 re-reads two such files per sample
+// (reference dvt/dataset/paired_list_dataset.py:39-44). Parsing the
+// header here lets the whole paired sample load run under one OpenMP
+// region with the GIL released.
+
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = uint32_t(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t man = h & 0x3ffu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;  // +-0
+    } else {        // subnormal: normalize
+      int e = -1;
+      do {
+        ++e;
+        man <<= 1;
+      } while ((man & 0x400u) == 0);
+      bits = sign | uint32_t(127 - 15 - e) << 23 | (man & 0x3ffu) << 13;
+    }
+  } else if (exp == 0x1f) {
+    bits = sign | 0x7f800000u | man << 13;  // inf/nan
+  } else {
+    bits = sign | (exp - 15 + 127) << 23 | man << 13;
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+// Read a C-order little-endian <f4 or <f2 .npy file; writes exactly
+// expected_elems floats. Returns 0 ok, nonzero on any mismatch.
+int load_npy_f32(const char* path, float* out, int64_t expected_elems) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  uint8_t magic[8];
+  if (fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "\x93NUMPY", 6) != 0) {
+    fclose(f);
+    return 2;
+  }
+  int major = magic[6];
+  uint32_t hlen = 0;
+  if (major == 1) {
+    uint8_t b[2];
+    if (fread(b, 1, 2, f) != 2) { fclose(f); return 2; }
+    hlen = b[0] | uint32_t(b[1]) << 8;
+  } else {
+    uint8_t b[4];
+    if (fread(b, 1, 4, f) != 4) { fclose(f); return 2; }
+    hlen = b[0] | uint32_t(b[1]) << 8 | uint32_t(b[2]) << 16 |
+           uint32_t(b[3]) << 24;
+  }
+  if (hlen > 1u << 20) { fclose(f); return 2; }
+  std::vector<char> hdr(hlen + 1, 0);
+  if (fread(hdr.data(), 1, hlen, f) != hlen) { fclose(f); return 2; }
+  std::string h(hdr.data());
+  bool f4 = h.find("'<f4'") != std::string::npos;
+  bool f2 = !f4 && h.find("'<f2'") != std::string::npos;
+  if ((!f4 && !f2) || h.find("'fortran_order': False") == std::string::npos) {
+    fclose(f);
+    return 3;  // unsupported dtype/order -> caller falls back to np.load
+  }
+  size_t sp = h.find("'shape':");
+  size_t lp = (sp == std::string::npos) ? sp : h.find('(', sp);
+  if (lp == std::string::npos) { fclose(f); return 3; }
+  int64_t elems = 1;
+  {
+    const char* p = h.c_str() + lp + 1;
+    while (*p && *p != ')') {
+      while (*p == ' ' || *p == ',') ++p;
+      if (*p == ')' || !*p) break;
+      elems *= strtoll(p, const_cast<char**>(&p), 10);
+    }
+  }
+  if (elems != expected_elems) { fclose(f); return 4; }
+  int rc = 0;
+  if (f4) {
+    if (fread(out, 4, size_t(elems), f) != size_t(elems)) rc = 5;
+  } else {
+    std::vector<uint16_t> tmp((size_t(elems)));
+    if (fread(tmp.data(), 2, size_t(elems), f) != size_t(elems)) {
+      rc = 5;
+    } else {
+      for (int64_t i = 0; i < elems; ++i) out[i] = half_to_float(tmp[i]);
+    }
+  }
+  fclose(f);
+  return rc;
+}
+
 }  // namespace
 
 extern "C" {
+
+int dvt_load_image(const char* path, int out_h, int out_w, const float* mean,
+                   const float* stddev, float* out);
+
+// Batch .npy -> f32. status[i]=0 on success per file.
+void dvt_load_npy_batch(const char** paths, int n, float* out,
+                        int64_t elems_per, int* status) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    status[i] = load_npy_f32(paths[i], out + size_t(i) * elems_per,
+                             elems_per);
+  }
+}
+
+// Stage-2 paired sample batch: per sample decode+resize+normalize the
+// image and read its (raw, denoised) float feature files — one OpenMP
+// region for the full batch (3 tasks x n samples, dynamic schedule).
+void dvt_load_paired_batch(const char** img_paths, const char** raw_paths,
+                           const char** den_paths, int n, int out_h,
+                           int out_w, const float* mean, const float* stddev,
+                           float* imgs, float* raw, float* den,
+                           int64_t feat_elems, int* status) {
+  std::vector<int> st(size_t(n) * 3, 0);
+#pragma omp parallel for schedule(dynamic)
+  for (int t = 0; t < n * 3; ++t) {
+    int i = t / 3;
+    switch (t % 3) {
+      case 0:
+        st[t] = dvt_load_image(img_paths[i], out_h, out_w, mean, stddev,
+                               imgs + size_t(i) * out_h * out_w * 3);
+        break;
+      case 1:
+        st[t] = load_npy_f32(raw_paths[i], raw + size_t(i) * feat_elems,
+                             feat_elems);
+        break;
+      default:
+        st[t] = load_npy_f32(den_paths[i], den + size_t(i) * feat_elems,
+                             feat_elems);
+    }
+  }
+  for (int i = 0; i < n; ++i)
+    status[i] = st[i * 3] | st[i * 3 + 1] | st[i * 3 + 2];
+}
 
 // Load one JPEG -> normalized f32 (out_h, out_w, 3). Returns 0 on success.
 int dvt_load_image(const char* path, int out_h, int out_w, const float* mean,

@@ -48,6 +48,63 @@ def test_jpeg_roundtrip(tmp_path, rng):
     assert abs(out.mean() - ref.mean()) < 0.02
 
 
+def test_npy_batch_reader(tmp_path, rng):
+    from dvt_tpu.data.native import load_npy_batch_native
+
+    a = rng.normal(size=(5, 7)).astype(np.float32)
+    b = rng.normal(size=(5, 7)).astype(np.float16)
+    np.save(tmp_path / "a.npy", a)
+    np.save(tmp_path / "b.npy", b)
+    np.save(tmp_path / "wrong.npy", np.zeros((3, 3), np.float32))
+    out, status = load_npy_batch_native(
+        [str(tmp_path / n) for n in ("a.npy", "b.npy", "wrong.npy")], (5, 7)
+    )
+    assert status[0] == 0 and status[1] == 0
+    assert status[2] != 0  # element-count mismatch flagged, not truncated
+    np.testing.assert_array_equal(out[0], a)
+    np.testing.assert_array_equal(out[1], b.astype(np.float32))
+
+
+def test_paired_batch_matches_python_path(tmp_path, rng):
+    """Stage-2 native fast path == per-item __getitem__ (features exact,
+    image within the PIL path's post-resize uint8 quantization)."""
+    from PIL import Image
+
+    from dvt_tpu.data.paired_list import PairedListDataset
+
+    img_root = tmp_path / "imgs"
+    feat = tmp_path / "feats" / "denoised_features" / "m"
+    raw = tmp_path / "feats" / "raw_features" / "m"
+    for d in (img_root, feat, raw):
+        d.mkdir(parents=True)
+    rels = []
+    for i in range(3):
+        rel = f"im{i}.jpg"
+        Image.fromarray(
+            (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+        ).save(img_root / rel, quality=95)
+        np.save(feat / f"im{i}.npy",
+                rng.normal(size=(1, 25, 8)).astype(np.float32))
+        np.save(raw / f"im{i}.npy",
+                rng.normal(size=(1, 25, 8)).astype(np.float32))
+        rels.append(rel)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(rels))
+    ds = PairedListDataset(str(img_root), str(lst), str(feat),
+                           input_size=(20, 24))
+    batch = ds.get_batch([0, 2, 1])
+    assert batch is not None
+    for k, i in [(0, 0), (1, 2), (2, 1)]:
+        item = ds[i]
+        np.testing.assert_array_equal(batch["original_feats"][k],
+                                      item["original_feats"])
+        np.testing.assert_array_equal(batch["denoised_feats"][k],
+                                      item["denoised_feats"])
+        # image: native resizes pre-quantization floats; PIL path rounds
+        # to uint8 after resize -> bound is (1/255)/min(std) plus jitter
+        assert np.abs(batch["image"][k] - item["image"]).max() < 0.03
+
+
 def test_batch_load_and_missing_file(tmp_path, rng):
     from PIL import Image
 
