@@ -1,0 +1,120 @@
+"""Device A/B: per-window vs batched seg val inference wall-clock.
+
+VERDICT r2 asked for a device-measured val-sweep wall-clock drop for the
+batched seg inference (eval/seg.py slide_inference_batched, the pattern
+the reference gets from 8-way DDP eval, evaluation/depth/apis/train.py:
+61-66). This runs BOTH paths over the same synthetic val images with the
+same random-weight probe, asserts the argmax predictions are identical,
+and reports seconds + dispatch rounds per path.
+
+Usage: python tools/ab_segval.py
+Env: SV_IMAGES (default 8), SV_MODEL (vit_small_patch16_224.dino),
+     SV_WINDOW_BATCH (8), SV_SIZE (700 -> 2x2=4 windows/image at the
+     512/341 VOC slide geometry), SV_CROP / SV_STRIDE (override the
+     slide geometry so a 1-core CPU smoke can run tiny shapes).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if os.environ.get("DVT_PLATFORM"):  # axon ignores JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["DVT_PLATFORM"])
+    else:
+        from bench import wait_for_device
+
+        if not wait_for_device(900):
+            raise SystemExit("device not ready")
+    from bench import device_calibration
+    import jax.numpy as jnp
+
+    from dvt_tpu.eval.glue import make_feature_fn
+    from dvt_tpu.eval.seg import (
+        SegLinearProbe,
+        slide_inference,
+        slide_inference_batched,
+    )
+    from dvt_tpu.models.vit import ViTWrapper
+
+    gbps, tflops = device_calibration(jax, jnp)
+    n_imgs = int(os.environ.get("SV_IMAGES", "8"))
+    model = os.environ.get("SV_MODEL", "vit_small_patch16_224.dino")
+    wb = int(os.environ.get("SV_WINDOW_BATCH", "8"))
+    size = int(os.environ.get("SV_SIZE", "700"))
+    crop = int(os.environ.get("SV_CROP", "512"))
+    stride = int(os.environ.get("SV_STRIDE", "341"))
+    num_classes = 21
+
+    wrapper = ViTWrapper(model, seed=0)
+    fn, fparams = make_feature_fn(wrapper, pad_multiple=wrapper.patch_size)
+    probe = SegLinearProbe(fn, num_classes, feature_params=fparams,
+                           mesh=None, lr=1e-3, weight_decay=0.0,
+                           total_iters=10, seed=0)
+    rng = np.random.default_rng(0)
+    images = [rng.standard_normal((size, size, 3)).astype(np.float32)
+              for _ in range(n_imgs)]
+    state = probe.init_state(jnp.zeros((1, crop, crop, 3), jnp.float32))
+
+    def logits_fn(b):
+        return probe.predict_logits(state, b)
+
+    def sync(x):
+        np.asarray(x[0].ravel()[0] if isinstance(x, list) else x)
+
+    # warm both compiles (bs=1 for the loop path, bs=wb for batched)
+    sync(np.asarray(logits_fn(jnp.zeros((1, crop, crop, 3)))))
+    sync(np.asarray(logits_fn(jnp.zeros((wb, crop, crop, 3)))))
+
+    t0 = time.time()
+    preds_loop = [
+        slide_inference(logits_fn, im, num_classes,
+                        crop=(crop, crop), stride=(stride, stride)).argmax(-1)
+        for im in images
+    ]
+    t_loop = time.time() - t0
+
+    t0 = time.time()
+    maps = slide_inference_batched(logits_fn, images, num_classes,
+                                   crop=(crop, crop),
+                                   stride=(stride, stride),
+                                   window_batch=wb)
+    preds_batched = [m.argmax(-1) for m in maps]
+    t_batched = time.time() - t0
+
+    mismatch = sum(
+        int((a != b).sum()) for a, b in zip(preds_loop, preds_batched)
+    )
+    grids = max(int(np.ceil((size - crop) / stride)) + 1, 1)
+    n_windows = grids * grids * n_imgs  # 700^2 at 512/341 -> 2x2
+    out = {
+        "metric": "segval_ab",
+        "model": model,
+        "images": n_imgs,
+        "windows": n_windows,
+        "window_batch": wb,
+        "per_window_s": round(t_loop, 2),
+        "batched_s": round(t_batched, 2),
+        "speedup": round(t_loop / t_batched, 2),
+        "dispatches_loop": n_windows,
+        "dispatches_batched": int(np.ceil(n_windows / wb)),
+        "pred_pixel_mismatch": mismatch,
+        "device_hbm_gbps_measured": gbps,
+        "device_bf16_tflops_measured": tflops,
+    }
+    print(json.dumps(out), flush=True)
+    with open("/tmp/segval_ab.json", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
