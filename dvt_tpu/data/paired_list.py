@@ -87,8 +87,10 @@ class PairedListDataset:
         Python path serializes on the GIL around PIL/np.load on few-core
         hosts). Returns None when unavailable (non-JPEG input, missing
         library, unsupported .npy dtype) — the DataLoader then falls back
-        to per-item ``__getitem__``. Images differ from the PIL path only
-        by its post-resize uint8 quantization (<=1/255 pre-normalize)."""
+        to per-item ``__getitem__``. Images differ from the PIL path by
+        PIL's OWN two-pass uint8 fixed-point resize (up to ~26/255 on
+        high-frequency content); the native resize is float-exact vs
+        torch antialias=True (~1e-2 levels, tools/ab_loader.py)."""
         from dvt_tpu.data.native import load_paired_batch_native
 
         resolved = [self._resolve(i) for i in indices]

@@ -8,9 +8,13 @@
 // resize -> normalize in C++ with OpenMP batch parallelism, exposed through
 // a C ABI consumed via ctypes (dvt_tpu/data/native.py).
 //
-// Resize matches PIL/torch antialiased bicubic (Keys kernel A=-0.5, window
+// Resize matches torch antialias=True bicubic (Keys kernel A=-0.5, window
 // truncated+renormalized at borders, support widened by the scale when
-// minifying) so outputs are interchangeable with the Python path.
+// minifying) to ~1e-2 u8 levels, measured. PIL.Image.resize(BICUBIC) is
+// NOT float-exact: its 8bpc path quantizes the horizontal pass to uint8
+// before the vertical pass (fixed-point two-pass), deviating up to
+// ~26/255 from the float kernel on high-frequency content - this library
+// is the more accurate of the two (tools/ab_loader.py isolates it).
 
 #include <algorithm>
 #include <cmath>
@@ -110,42 +114,51 @@ ResampleAxis build_axis(int in_size, int out_size) {
   return ax;
 }
 
-// u8 HWC -> f32 HWC resize (separable, pillow-style)
+// u8 HWC -> f32 HWC resize (separable, pillow-style).
+//
+// Vectorization-oriented layout: the vertical pass is an axpy over whole
+// rows (w*3 contiguous floats - gcc auto-vectorizes it), the horizontal
+// pass runs a fixed max_taps-length inner loop (weights are zero-padded,
+// tmp gets max_taps guard columns so padded taps read in-bounds) so the
+// 3-channel FMAs unroll without per-tap branches. Float accumulation:
+// renormalized u8-input taps round off ~1e-4 levels, far below the fp32
+// AA reference itself (validated vs torch antialias=True at 1e-2 levels,
+// tools/ab_loader.py).
 void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int oh,
                     int ow) {
   ResampleAxis ay = build_axis(h, oh);
   ResampleAxis axx = build_axis(w, ow);
-  std::vector<float> tmp(size_t(oh) * w * 3);
+  const int row_elems = w * 3;
+  // float weights once, outside the hot loops
+  std::vector<float> wy(ay.weights.begin(), ay.weights.end());
+  std::vector<float> wx(axx.weights.begin(), axx.weights.end());
+  std::vector<float> tmp(size_t(oh) * (w + axx.max_taps) * 3, 0.0f);
+  const int tmp_row = (w + axx.max_taps) * 3;
   for (int i = 0; i < oh; ++i) {
-    for (int x = 0; x < w; ++x) {
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < ay.count[i]; ++k) {
-        double wgt = ay.weights[size_t(i) * ay.max_taps + k];
-        const uint8_t* p = src + (size_t(ay.xmin[i] + k) * w + x) * 3;
-        acc[0] += wgt * p[0];
-        acc[1] += wgt * p[1];
-        acc[2] += wgt * p[2];
-      }
-      float* q = tmp.data() + (size_t(i) * w + x) * 3;
-      q[0] = float(acc[0]);
-      q[1] = float(acc[1]);
-      q[2] = float(acc[2]);
+    float* out_row = tmp.data() + size_t(i) * tmp_row;
+    std::fill(out_row, out_row + row_elems, 0.0f);
+    const float* wrow = wy.data() + size_t(i) * ay.max_taps;
+    for (int k = 0; k < ay.count[i]; ++k) {
+      const float wgt = wrow[k];
+      const uint8_t* p = src + size_t(ay.xmin[i] + k) * row_elems;
+      for (int t = 0; t < row_elems; ++t) out_row[t] += wgt * p[t];
     }
   }
   for (int i = 0; i < oh; ++i) {
+    const float* in_row = tmp.data() + size_t(i) * tmp_row;
+    float* out_row = dst + size_t(i) * ow * 3;
     for (int j = 0; j < ow; ++j) {
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < axx.count[j]; ++k) {
-        double wgt = axx.weights[size_t(j) * axx.max_taps + k];
-        const float* p = tmp.data() + (size_t(i) * w + (axx.xmin[j] + k)) * 3;
-        acc[0] += wgt * p[0];
-        acc[1] += wgt * p[1];
-        acc[2] += wgt * p[2];
+      const float* wrow = wx.data() + size_t(j) * axx.max_taps;
+      const float* p = in_row + size_t(axx.xmin[j]) * 3;
+      float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+      for (int k = 0; k < axx.max_taps; ++k) {
+        a0 += wrow[k] * p[k * 3 + 0];
+        a1 += wrow[k] * p[k * 3 + 1];
+        a2 += wrow[k] * p[k * 3 + 2];
       }
-      float* q = dst + (size_t(i) * ow + j) * 3;
-      q[0] = float(acc[0]);
-      q[1] = float(acc[1]);
-      q[2] = float(acc[2]);
+      out_row[j * 3 + 0] = a0;
+      out_row[j * 3 + 1] = a1;
+      out_row[j * 3 + 2] = a2;
     }
   }
 }
