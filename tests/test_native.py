@@ -100,8 +100,10 @@ def test_paired_batch_matches_python_path(tmp_path, rng):
                                       item["original_feats"])
         np.testing.assert_array_equal(batch["denoised_feats"][k],
                                       item["denoised_feats"])
-        # image: native resizes pre-quantization floats; PIL path rounds
-        # to uint8 after resize -> bound is (1/255)/min(std) plus jitter
+        # image: native is float-exact AA bicubic; the PIL path both
+        # rounds to uint8 after resize AND runs PIL's two-pass 8bpc
+        # fixed-point resample (horizontal pass quantized to uint8
+        # before the vertical pass) - see dvt_host.cpp header
         assert np.abs(batch["image"][k] - item["image"]).max() < 0.03
 
 
