@@ -6,13 +6,15 @@ reference's per-mode videos (make_video_demo.py:219-238) plus per-frame
 pngs (:90-212):
 
   image, instance_pca (frame-0 robust PCA), dataset_pca (clip-level PCA;
-  the reference uses precomputed demo/assets/stats.pth - we fit the same
-  statistics from a frame sample), kmeans (fit on frame 0, predicted on
-  the rest), first/second/third_pca (inferno single components), fg_pca
-  (mask 1 - pca2 > 0.1), fg_pca_standard (sign of the standard mapping;
-  ours is the clip PCA's negated 2nd direction), norm (softmax/5
-  temperature), and a combined features.mp4 panel. With --denoiser_ckpt a
-  raw-vs-denoised side-by-side (side_by_side.mp4) is also written.
+  the reference uses precomputed demo/assets/stats.pth - pass it via
+  --stats_path (torch .pth or .npz) for the reference-exact mappings, or
+  we fit the same statistics from a frame sample), kmeans (fit on frame
+  0, predicted on the rest), first/second/third_pca (inferno single
+  components), fg_pca (mask 1 - pca2 > 0.1), fg_pca_standard (sign of
+  the standard mapping; without --stats_path ours is the clip PCA's
+  negated 2nd direction), norm (softmax/5 temperature), and a combined
+  features.mp4 panel. With --denoiser_ckpt a raw-vs-denoised
+  side-by-side (side_by_side.mp4) is also written.
 """
 
 import argparse
@@ -48,6 +50,14 @@ def get_args():
     p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--stats_frames", type=int, default=8,
                    help="frames used to fit shared PCA stats")
+    p.add_argument("--stats_path", type=str, default=None,
+                   help="precomputed dataset PCA stats: the reference's "
+                        "demo/assets/stats.pth (torch) or an .npz with "
+                        "denoised_reduct_mat_full (C,3) + "
+                        "denoised_standard_mapping (C,). When given, the "
+                        "dataset_pca / fg_pca_standard mappings are "
+                        "reference-exact instead of fit from "
+                        "--stats_frames (make_video_demo.py:102-106)")
     p.add_argument("--fps", type=int, default=10)
     p.add_argument("--output_dir", type=str, default="./work_dirs/video_demo")
     return p.parse_args()
@@ -137,11 +147,35 @@ def main():
     stat_feats = np.concatenate(
         [frame_feats(p)[1].reshape(-1, wrapper.n_output_dims) for p in sample]
     )
-    pca_stats = get_robust_pca(stat_feats)
-    dataset_mat = np.asarray(pca_stats[0], np.float32)  # (C, 3)
-    # "standard mapping" foreground direction (reference stats.pth
-    # denoised_standard_mapping): the clip PCA's negated 2nd component
-    standard_vec = -dataset_mat[:, 1]
+    if args.stats_path:
+        # reference-exact mappings from the released artifact
+        # (make_video_demo.py:102-106: denoised_reduct_mat_full drives
+        # dataset_pca + the single-component modes,
+        # denoised_standard_mapping gates fg_pca_standard)
+        if args.stats_path.endswith(".npz"):
+            st = dict(np.load(args.stats_path))
+        else:  # demo/assets/stats.pth
+            import torch
+
+            st = {k: np.asarray(v.detach().cpu().numpy()) if hasattr(
+                v, "detach") else np.asarray(v)
+                for k, v in torch.load(
+                    args.stats_path, map_location="cpu").items()}
+        dataset_mat = np.asarray(
+            st["denoised_reduct_mat_full"], np.float32).reshape(
+                wrapper.n_output_dims, 3)
+        standard_vec = np.asarray(
+            st["denoised_standard_mapping"], np.float32).reshape(
+                wrapper.n_output_dims)
+        # color range for the combined panel from the clip sample
+        proj = stat_feats @ dataset_mat
+        pca_stats = (dataset_mat, proj.min(0), proj.max(0))
+    else:
+        pca_stats = get_robust_pca(stat_feats)
+        dataset_mat = np.asarray(pca_stats[0], np.float32)  # (C, 3)
+        # "standard mapping" foreground direction (reference stats.pth
+        # denoised_standard_mapping): the clip PCA's negated 2nd component
+        standard_vec = -dataset_mat[:, 1]
     inferno = _cmap("inferno")
 
     scene = os.path.basename(os.path.normpath(args.frames_dir)) or "scene"
