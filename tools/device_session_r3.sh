@@ -57,6 +57,6 @@ for f in /root/reference/demo/davis-mallard-water/*.jpg; do
 done
 run video_demo 5400 python make_video_demo.py --frames_dir /tmp/clip490 \
   --stride_size 4 --input_size 490 854 --output_dir /tmp/video490 \
-  --stats_frames 4
+  --stats_frames 4 --stats_path /root/reference/demo/assets/stats.pth
 run bench 2400 python bench.py
 echo "ALL DONE $(date +%H:%M:%S)" | tee -a "$LOG/status"

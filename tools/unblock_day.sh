@@ -115,9 +115,11 @@ for ours in glob.glob(os.path.join(ours_root, "denoised_features", "**", "*.npy"
     ref = os.path.join(ref_root, rel)
     if not os.path.exists(ref):
         continue
-    a = np.load(ours).reshape(-1, np.load(ours).shape[-1])
+    a = np.load(ours)
+    a = a.reshape(-1, a.shape[-1])
     b = np.load(ref).reshape(-1, a.shape[-1])
-    c = np.sum(a*b, -1) / (np.linalg.norm(a, -1) * np.linalg.norm(b, -1) + 1e-8)
+    c = np.sum(a*b, -1) / (np.linalg.norm(a, axis=-1)
+                           * np.linalg.norm(b, axis=-1) + 1e-8)
     cos_all.append(c)
 c = np.concatenate(cos_all)
 print(f"n={len(cos_all)} maps, cosine mean {c.mean():.4f} p5 {np.percentile(c,5):.4f}")
