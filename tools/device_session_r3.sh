@@ -59,4 +59,13 @@ run video_demo 5400 python make_video_demo.py --frames_dir /tmp/clip490 \
   --stride_size 4 --input_size 490 854 --output_dir /tmp/video490 \
   --stats_frames 4 --stats_path /root/reference/demo/assets/stats.pth
 run bench 2400 python bench.py
+
+# bench-default candidate: pixel_bsz 1024 measured 0.96 ms/iter in round 2
+# (vs 1.39 tuned) but was shelved on a 2-image quality dip; the N=34 seed
+#-floor methodology can now judge it properly on a 14-image subset.
+QS_TUNED_JSON='{"stochastic_corners": true, "table_sweep_every": 16, "n_levels": 12, "level_sample": 4, "pixel_bsz": 1024}' \
+QS_N_DAVIS=6 QS_N_SYNTH=6 \
+run candidate_pb1024 7200 python tools/quality_sweep.py \
+  --out /tmp/quality_sweep_pb1024.jsonl
+
 echo "ALL DONE $(date +%H:%M:%S)" | tee -a "$LOG/status"

@@ -56,12 +56,19 @@ TUNED = dict(stochastic_corners=True, table_sweep_every=16, n_levels=12,
              level_sample=4)
 FALLBACK = dict(stochastic_corners=True, table_sweep_every=16, n_levels=12)
 
+# Candidate-config mode: QS_TUNED_JSON overrides the TUNED dict (fields of
+# Stage1Config, e.g. '{"stochastic_corners": true, "table_sweep_every": 16,
+# "n_levels": 12, "level_sample": 4, "pixel_bsz": 1024}') so the same
+# harness + seed-floor analysis evaluates a new bench-default candidate.
+if os.environ.get("QS_TUNED_JSON"):
+    TUNED = json.loads(os.environ["QS_TUNED_JSON"])
+
 
 def build_image_list(n_davis, n_synth):
     imgs = [os.path.join(DEMO, "cat.jpg"), os.path.join(DEMO, "puppy.jpg")]
     davis_dir = os.path.join(DEMO, "davis-mallard-water")
     frames = sorted(os.listdir(davis_dir))
-    step = max(len(frames) // n_davis, 1)
+    step = max(len(frames) // max(n_davis, 1), 1)
     imgs += [os.path.join(davis_dir, f) for f in frames[::step][:n_davis]]
     synth_root = "/tmp/dvt_synth_sweep/voc"
     if not os.path.isdir(synth_root):
