@@ -41,10 +41,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        try:
+            _bind(lib)
+        except AttributeError:
+            # stale prebuilt .so missing newer symbols: rebuild once from
+            # source and retry, else keep the graceful-fallback contract
+            if attempt == 0 and _build():
+                continue
+            return None
+        _lib = lib
+        return _lib
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.dvt_load_image.restype = ctypes.c_int
     lib.dvt_load_image.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
@@ -78,8 +93,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

@@ -104,9 +104,23 @@ class PairedListDataset:
             self.input_size, self.mean, self.std, self._feat_shape,
         )
         if out is None:
-            return None
+            return None  # library unavailable: caller disables fast path
         imgs, raw, den, status = out
-        if status.any():
+        if status.all():
+            # every sample failed -> format-level incompatibility (e.g. a
+            # PNG dataset): report as a capability miss so the DataLoader
+            # stops paying the native probe each batch
             return None
+        if status.any():
+            # transient per-file failures (e.g. a feature .npy mid-write
+            # by a concurrent stage-1 dump, the resample-on-missing
+            # scenario _resolve supports): retry just those samples via
+            # the Python path instead of abandoning the fast path for the
+            # whole run
+            for i in np.nonzero(status)[0]:
+                item = self.__getitem__(int(indices[i]))
+                imgs[i] = item["image"]
+                raw[i] = item["original_feats"]
+                den[i] = item["denoised_feats"]
         return {"image": imgs, "original_feats": raw,
                 "denoised_feats": den}

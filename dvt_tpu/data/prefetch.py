@@ -96,6 +96,11 @@ class DataLoader:
                             return
             except Exception as e:  # noqa: BLE001
                 put(e)
+            except BaseException as e:  # noqa: BLE001
+                # KeyboardInterrupt/SystemExit etc. must not be REPLAYED in
+                # the consumer, but the producer dying silently would leave
+                # the training loop blocked on q.get() forever - wrap them.
+                put(RuntimeError(f"DataLoader producer thread died: {e!r}"))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -120,7 +120,15 @@ class Stage1Engine:
         )
         self._pool_dtype = jnp.dtype(self.feature_dtype)
         if self.num_views % self.extract_bsz:
-            raise ValueError("num_views must be divisible by extract_bsz")
+            # The extraction chunk width is an implementation detail
+            # (lax.map chunking - features are bit-identical at any
+            # width), so round down to the largest divisor rather than
+            # reject valid --num_views values (e.g. 192 with the
+            # measured-default 128).
+            bsz = min(self.extract_bsz, self.num_views)
+            while self.num_views % bsz:
+                bsz -= 1
+            self.extract_bsz = bsz
         self._extract_all = jax.jit(self._extract_all_fn)
 
     # --- device-side extraction: render crops + ViT forward + coords for a

@@ -505,10 +505,28 @@ class VOCDetectionDataset:
         img = (img - SEG_MEAN) / SEG_STD
         canvas = np.zeros((s, s, 3), np.float32)
         canvas[:nh, :nw] = img
-        return {
+        item = {
             "image": np.ascontiguousarray(canvas, np.float32),
             "boxes": boxes,
             "labels": labels,
             "valid": valid,
             "difficult": difficult,
         }
+        if not self.train:
+            # Full un-truncated GT for AP scoring: the max_boxes cap only
+            # exists for shape-static jit TRAIN targets; eval runs on host.
+            # Truncating here would drop difficult boxes (they sort last)
+            # from the ignore set, turning correct detections on them into
+            # false positives (VOC images routinely exceed max_boxes).
+            eb, ec, ed = [], [], []
+            for cls, (x0, y0, x1, y1), diff in objs:
+                if cls not in self._cls_index:
+                    continue
+                eb.append((x0 * scale, y0 * scale,
+                           x1 * scale, y1 * scale))
+                ec.append(self._cls_index[cls])
+                ed.append(diff)
+            item["eval_boxes"] = np.asarray(eb, np.float32).reshape(-1, 4)
+            item["eval_classes"] = np.asarray(ec, np.int32)
+            item["eval_difficult"] = np.asarray(ed, bool)
+        return item

@@ -345,25 +345,13 @@ class DepthLinearProbe:
 
     def predict(self, state, images: Array) -> Array:
         """Batched whole-image inference; with a mesh the image batch is
-        sharded over the 'data' axis (the reference evals run 8-way
-        MMDistributedDataParallel, evaluation/depth/apis/train.py:61-66) -
-        jit propagates the input shardings."""
+        sharded over the 'data' axis via glue.data_sharded_call - jit
+        propagates the input shardings."""
+        from dvt_tpu.eval.glue import data_sharded_call
+
         if self._pred_jit is None:
             self._pred_jit = jax.jit(self._predict)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            # pad the batch to a data-axis multiple (sharding a
-            # non-divisible batch is a hard error), trim after
-            n = images.shape[0]
-            d = self.mesh.shape["data"]
-            pad = (-n) % d
-            if pad:
-                images = jnp.concatenate(
-                    [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
-                )
-            images = jax.device_put(
-                images, NamedSharding(self.mesh, P("data")))
-            out = self._pred_jit(state, images, self.feature_params)
-            return out[:n]
-        return self._pred_jit(state, images, self.feature_params)
+        return data_sharded_call(
+            self.mesh,
+            lambda im: self._pred_jit(state, im, self.feature_params),
+            images)

@@ -34,6 +34,28 @@ def center_pad(x: Array, multiple: int) -> Array:
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
+def data_sharded_call(mesh, fn, images: Array, *args) -> Array:
+    """Run ``fn(images, *args)`` with the batch axis sharded over the
+    mesh's 'data' axis, padding a non-divisible batch with its last row
+    (sharding one is a hard error) and trimming the result back.
+
+    The one shared implementation of the val-inference pattern the
+    reference gets from 8-way MMDistributedDataParallel eval
+    (evaluation/depth/apis/train.py:61-66); used by the seg and depth
+    probes' batched predict paths."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        return fn(images, *args)
+    n = images.shape[0]
+    pad = (-n) % mesh.shape["data"]
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0)
+    images = jax.device_put(images, NamedSharding(mesh, P("data")))
+    return fn(images, *args)[:n]
+
+
 def make_feature_fn(
     vit_wrapper,
     denoiser=None,

@@ -26,6 +26,8 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from dvt_tpu.eval.glue import data_sharded_call
+
 Array = jax.Array
 
 
@@ -248,20 +250,12 @@ class SegLinearProbe:
 
     def predict_logits(self, state, images: Array) -> Array:
         """Batched window/image inference; with a mesh the batch axis is
-        sharded over 'data' (the reference evals run 8-way
-        MMDistributedDataParallel, evaluation/depth/apis/train.py:61-66;
-        same pattern as DepthProbe.predict). Non-divisible batches are
-        padded with the last row and trimmed after."""
-        if self.mesh is None:
-            return self._logits_jit(state, images, self.feature_params)
-        n = images.shape[0]
-        d = self.mesh.shape["data"]
-        pad = (-n) % d
-        if pad:
-            images = jnp.concatenate(
-                [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0)
-        images = jax.device_put(images, NamedSharding(self.mesh, P("data")))
-        return self._logits_jit(state, images, self.feature_params)[:n]
+        sharded over 'data' via glue.data_sharded_call (same pattern as
+        DepthProbe.predict)."""
+        return data_sharded_call(
+            self.mesh,
+            lambda im: self._logits_jit(state, im, self.feature_params),
+            images)
 
 
 def slide_inference(

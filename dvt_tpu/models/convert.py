@@ -164,9 +164,13 @@ def convert_dpt_state_dict(sd: Mapping[str, Any],
         _conv(p, f"reassemble_{i}_proj", sd,
               f"reassemble_blocks.projects.{i}.conv")
         _conv(p, f"scratch_{i}", sd, f"convs.{i}.conv")
-    for i, k in ((0, 4), (1, 2)):
-        _set(p, f"reassemble_{i}_deconv_kernel",
-             _t(sd[f"reassemble_blocks.resize_layers.{i}.weight"]))
+    for i, k in ((0, 4), (1, 2)):  # (stage, expected deconv kernel size)
+        w = sd[f"reassemble_blocks.resize_layers.{i}.weight"]
+        if tuple(w.shape[-2:]) != (k, k):
+            raise ValueError(
+                f"resize_layers.{i} deconv kernel is {tuple(w.shape)}, "
+                f"expected {k}x{k} (dpt_head.py:88-108)")
+        _set(p, f"reassemble_{i}_deconv_kernel", _t(w))
         _set(p, f"reassemble_{i}_deconv_bias",
              _t(sd[f"reassemble_blocks.resize_layers.{i}.bias"]))
     _conv(p, "reassemble_3_down", sd, "reassemble_blocks.resize_layers.3")

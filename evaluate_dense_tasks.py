@@ -506,18 +506,22 @@ def run_det(args, cfg):
             sc = np.asarray(scores[0])
             keep = np.asarray(ok[0]) & (sc > 0.05)
             if keep.sum() > 100:
-                thr = np.sort(sc[keep])[-100]
-                keep &= sc >= thr
+                # exact top-100 (ties at the cutoff must not all survive)
+                idx = np.nonzero(keep)[0]
+                top = idx[np.argsort(sc[idx])[-100:]]
+                keep = np.zeros_like(keep)
+                keep[top] = True
             dets.append({
                 "boxes": np.asarray(boxes[0])[keep],
                 "scores": sc[keep],
                 "classes": np.asarray(classes[0])[keep],
             })
-            ann = item["valid"] | item["difficult"]
+            # full un-truncated GT (incl. difficult beyond the train-side
+            # max_boxes cap) so the AP ignore set is complete
             gts.append({
-                "boxes": item["boxes"][ann],
-                "classes": item["labels"][ann],
-                "difficult": item["difficult"][ann],
+                "boxes": item["eval_boxes"],
+                "classes": item["eval_classes"],
+                "difficult": item["eval_difficult"],
             })
         res = voc_ap50(dets, gts, train_ds.num_classes)
         res = {"mAP50": res["mAP50"], "iteration": step, "num_images": n}
