@@ -115,10 +115,30 @@ class PairedListDataset:
             # transient per-file failures (e.g. a feature .npy mid-write
             # by a concurrent stage-1 dump, the resample-on-missing
             # scenario _resolve supports): retry just those samples via
-            # the Python path instead of abandoning the fast path for the
-            # whole run
+            # the Python path; if a retry is unreadable or wrong-shaped,
+            # resample a different index (the reference's missing-file
+            # semantics, paired_list_dataset.py:31-32) instead of
+            # abandoning the fast path for the whole run
             for i in np.nonzero(status)[0]:
-                item = self.__getitem__(int(indices[i]))
+                idx, item = int(indices[i]), None
+                for _ in range(len(self.img_paths)):
+                    try:
+                        cand = self.__getitem__(idx)
+                    except Exception:
+                        cand = None
+                    if (cand is not None
+                            and cand["original_feats"].shape == raw.shape[1:]
+                            and cand["denoised_feats"].shape == den.shape[1:]
+                            and cand["image"].shape == imgs.shape[1:]):
+                        item = cand
+                        break
+                    rng = np.random.default_rng(
+                        (self._seed, idx, next(self._draw)))
+                    idx = int(rng.integers(len(self.img_paths)))
+                if item is None:
+                    raise RuntimeError(
+                        f"no loadable stage-2 sample found under "
+                        f"{self.feat_root} after resampling")
                 imgs[i] = item["image"]
                 raw[i] = item["original_feats"]
                 den[i] = item["denoised_feats"]

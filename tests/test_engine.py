@@ -73,3 +73,20 @@ def test_vis_panel(engine, rng):
     panel = panels[0]
     assert panel.dtype == np.uint8 and panel.ndim == 3 and panel.shape[2] == 3
     assert panel.shape[0] > 32 and panel.shape[1] > 32 * 10  # 12 columns
+
+
+def test_extract_bsz_clamps_to_divisor():
+    """A non-divisor extract_bsz (e.g. the measured-default 128 with
+    --num_views 192) must round down to the largest divisor, not crash -
+    the lax.map chunk width is bit-identical at any divisor."""
+    from dvt_tpu.engine import Stage1Engine
+
+    e = Stage1Engine(
+        model_identifier="vit_tiny_patch8_32.test",
+        stride=8, input_size=(32, 32),
+        num_views=12, num_iters=4, warmup_iters=1,
+        n_levels=3, pixel_bsz=64,
+        extract_bsz=8,  # 12 % 8 != 0 -> clamp to 6
+        images_per_batch=1,
+    )
+    assert e.extract_bsz == 6

@@ -122,3 +122,50 @@ def test_batch_load_and_missing_file(tmp_path, rng):
     batch, status = res
     assert batch.shape == (2, 16, 16, 3)
     assert status[0] == 0 and status[1] != 0
+
+
+def test_paired_batch_per_item_fallback(tmp_path, rng):
+    """A transient per-file failure (feature .npy mid-write) must NOT
+    disable the fast path: the failed sample is reloaded via the Python
+    path, the rest keep the native result."""
+    from PIL import Image
+
+    from dvt_tpu.data.paired_list import PairedListDataset
+
+    img_root = tmp_path / "imgs"
+    feat = tmp_path / "feats" / "denoised_features" / "m"
+    raw = tmp_path / "feats" / "raw_features" / "m"
+    for d in (img_root, feat, raw):
+        d.mkdir(parents=True)
+    rels = []
+    for i in range(3):
+        rel = f"im{i}.jpg"
+        Image.fromarray(
+            (rng.random((30, 30, 3)) * 255).astype(np.uint8)
+        ).save(img_root / rel, quality=95)
+        np.save(feat / f"im{i}.npy",
+                rng.normal(size=(1, 9, 4)).astype(np.float32))
+        np.save(raw / f"im{i}.npy",
+                rng.normal(size=(1, 9, 4)).astype(np.float32))
+        rels.append(rel)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(rels))
+    ds = PairedListDataset(str(img_root), str(lst), str(feat),
+                           input_size=(16, 16))
+    ds.get_batch([0, 1, 2])  # probe feat shape while files are intact
+    # truncate one raw .npy to an element-count mismatch (native read
+    # flags it; the file still EXISTS so _resolve keeps the index)
+    np.save(raw / "im1.npy", np.zeros((1, 5, 4), np.float32))
+    batch = ds.get_batch([0, 1, 2])
+    assert batch is not None  # fast path stays alive
+    item0 = ds[0]
+    np.testing.assert_array_equal(batch["original_feats"][0],
+                                  item0["original_feats"])
+    # the failed sample was healed: the wrong-shaped retry triggered the
+    # reference's resample-on-missing semantics, so row 1 now holds one
+    # of the intact samples (0 or 2)
+    healed = batch["original_feats"][1]
+    assert healed.shape == (9, 4)
+    assert any(np.array_equal(healed, ds[j]["original_feats"])
+               for j in (0, 2))
+    assert np.isfinite(batch["image"]).all()
