@@ -160,9 +160,12 @@ def bench_stage3(fast: bool):
 def main():
     import jax
 
+    if os.environ.get("DVT_PLATFORM"):  # axon ignores JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["DVT_PLATFORM"])
     from bench import device_calibration, wait_for_device
 
-    wait_for_device()
+    if not os.environ.get("DVT_PLATFORM"):
+        wait_for_device()
     import jax.numpy as jnp
 
     gbps, tflops = device_calibration(jax, jnp)
