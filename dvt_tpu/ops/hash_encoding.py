@@ -171,6 +171,43 @@ def _level_indices_weights(coords, res: int, size: int):
     return idx, w
 
 
+def _coarse_matmul(idx, w, level_tab, base, size, dtype):
+    """One-hot interpolation matmul for one coarse level: S[n, j] =
+    sum_c w_c [idx_c == base + j], then S @ level_tab (VJP = S^T g - a
+    transposed MXU matmul instead of a scatter).
+
+    SHARED by hash_encode (base=0, level-local indices) and
+    hash_encode_from (base=level offset, table-global indices) so the
+    two paths cannot drift - the deferred-sweep fit depends on them
+    composing to exactly the same encoding.
+
+    Precision pinned: the TPU default truncates each matmul pass to bf16
+    (~1e-3 rel), which would break the documented matmul-path ==
+    gather-path equivalence ON DEVICE (the CPU test is exact either way).
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    sel = (idx[:, :, None] == (iota + base)).astype(dtype)
+    smat = jnp.einsum("nc,ncj->nj", w.astype(dtype), sel,
+                      precision="highest")
+    return jnp.matmul(smat, level_tab, precision="highest")
+
+
+def _stochastic_corner(corner_key, idx, w):
+    """Draw ONE corner per (point, level) with bilinear-weight probability
+    (first corner whose CDF exceeds u). Returns (N, Lg, 1) indices.
+
+    SHARED by hash_encode and hash_plan - the draw must be bit-identical
+    between the standard and deferred paths."""
+    u = jax.random.uniform(corner_key, idx.shape[:2])
+    cdf = jnp.cumsum(w, axis=-1)
+    sel = jnp.sum(
+        (u[..., None] > jax.lax.stop_gradient(cdf)).astype(jnp.int32),
+        axis=-1,
+    )
+    sel = jnp.minimum(sel, 3)
+    return jnp.take_along_axis(idx, sel[..., None], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec,
                 corner_key: jax.Array | None = None) -> jax.Array:
@@ -203,12 +240,9 @@ def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec,
     ):
         idx, w = _level_indices_weights(flat, res, size)
         if 0 < size <= spec.matmul_level_threshold:
-            # one-hot interpolation matrix (N, size): S[n, j] = sum_c w_c [idx_c == j]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
-            sel = (idx[:, :, None] == iota).astype(table.dtype)
-            smat = jnp.einsum("nc,ncj->nj", w.astype(table.dtype), sel)
             level_tab = jax.lax.dynamic_slice_in_dim(table, off, size, axis=0)
-            outs.append((l, smat @ level_tab))  # (N, F); VJP = S^T g matmul
+            outs.append((l, _coarse_matmul(idx, w, level_tab, 0, size,
+                                           table.dtype)))
         else:
             gather_idx.append(idx + off)
             gather_w.append(w)
@@ -218,15 +252,7 @@ def hash_encode(table: jax.Array, coords: jax.Array, spec: HashGridSpec,
         idx = jnp.stack(gather_idx, axis=1)  # (N, Lg, 4)
         w = jnp.stack(gather_w, axis=1)
         if corner_key is not None:
-            # draw corner c with prob w_c: first corner whose CDF exceeds u
-            u = jax.random.uniform(corner_key, idx.shape[:2])
-            cdf = jnp.cumsum(w, axis=-1)
-            sel = jnp.sum(
-                (u[..., None] > jax.lax.stop_gradient(cdf)).astype(jnp.int32),
-                axis=-1,
-            )
-            sel = jnp.minimum(sel, 3)
-            one_idx = jnp.take_along_axis(idx, sel[..., None], axis=-1)
+            one_idx = _stochastic_corner(corner_key, idx, w)
             g_out = jnp.take(table, one_idx[..., 0], axis=0)  # (N, Lg, F)
         else:
             feats = jnp.take(table, idx, axis=0)  # (N, Lg, 4, F)
@@ -287,12 +313,8 @@ def hash_plan(coords: jax.Array, spec: HashGridSpec,
         idx = jnp.stack(fine_idx, axis=1)  # (N, Lg, 4)
         w = jnp.stack(fine_w, axis=1)
         if corner_key is not None:
-            # identical draw to hash_encode's stochastic path
-            u = jax.random.uniform(corner_key, idx.shape[:2])
-            cdf = jnp.cumsum(w, axis=-1)
-            sel = jnp.sum((u[..., None] > cdf).astype(jnp.int32), axis=-1)
-            sel = jnp.minimum(sel, 3)
-            idx = jnp.take_along_axis(idx, sel[..., None], axis=-1)  # (N,Lg,1)
+            # identical draw to hash_encode's stochastic path (shared impl)
+            idx = _stochastic_corner(corner_key, idx, w)  # (N, Lg, 1)
             w = jnp.ones_like(idx, dtype=w.dtype)
         plan["fine_idx"] = idx
         plan["fine_w"] = w
@@ -353,17 +375,16 @@ def hash_encode_from(coarse_prefix: jax.Array, fine_rows: jax.Array | None,
     if coarse_slots:
         idx, w = plan["coarse_idx"], plan["coarse_w"]
         dtype = coarse_prefix.dtype
-        # per-level one-hot matmuls, same shapes/flops as hash_encode
+        # per-level one-hot matmuls, shared impl with hash_encode
+        # (indices here are table-global, hence base=off)
         for k, l in enumerate(coarse_slots):
             size = spec.level_sizes[l]
             off = spec.level_offsets[l]
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
-            sel_l = (idx[:, k][:, :, None] == (iota_l + off)).astype(dtype)
-            smat_l = jnp.einsum("nc,ncj->nj", w[:, k].astype(dtype), sel_l)
             level_tab = jax.lax.dynamic_slice_in_dim(
                 coarse_prefix, off, size, axis=0
             )
-            outs.append((l, smat_l @ level_tab))
+            outs.append((l, _coarse_matmul(idx[:, k], w[:, k], level_tab,
+                                           off, size, dtype)))
     if fine_slots:
         w = plan["fine_w"][..., None].astype(fine_rows.dtype)
         fine_out = jnp.sum(fine_rows * w, axis=2)  # (N, keep_or_Lg, F)

@@ -198,6 +198,49 @@ def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
     )
 
 
+def _phase_frozen_mask(params, phase2):
+    """Per-leaf traced freeze flags reproducing the torch reference's
+    parameter-participation schedule (main_img_denoising.py:70-72,
+    offline_denoiser.py:49-60):
+
+    * the shared artifact map G is frozen in phase 2
+      (``requires_grad_(False)`` upstream: param AND moments untouched);
+    * the residual predictor h is frozen in phase 1 - its loss terms are
+      gated off, so every gradient is exactly zero, and torch Adam SKIPS
+      None-grad params entirely. Without the freeze, additive weight
+      decay inside Adam turns g = wd*p into ~sign(p)*lr steps that
+      destroy h's initialization before phase 2 ever starts.
+
+    ``params`` may be the full param tree or the deferred-path "small"
+    tree - anything with a ``denoiser`` subtree."""
+    frozen = jax.tree.map(lambda _: False, params)
+    den = frozen["denoiser"]
+    den["shared_artifacts"] = phase2
+    phase1 = jnp.logical_not(phase2)
+    for k in ("res_0", "res_2", "res_4"):
+        if k in den:
+            den[k] = jax.tree.map(lambda _: phase1, den[k])
+    return frozen
+
+
+def _optax_apply_frozen(opt, params, grads, opt_state, frozen):
+    """optax chain update with torch ``requires_grad_(False)`` freeze
+    semantics: frozen leaves keep their param value AND Adam moments
+    (zeroing the gradient alone is not enough - add_decayed_weights
+    re-adds wd*p and the momentum tail keeps moving the leaf)."""
+    updates, new_state = opt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    restore = lambda f, n, o: jnp.where(f, o, n)
+    new_params = jax.tree.map(restore, frozen, new_params, params)
+    adam_new, adam_old = new_state[1], opt_state[1]
+    adam = {
+        "mu": jax.tree.map(restore, frozen, adam_new["mu"], adam_old["mu"]),
+        "nu": jax.tree.map(restore, frozen, adam_new["nu"], adam_old["nu"]),
+        "count": adam_new["count"],
+    }
+    return new_params, (new_state[0], adam, new_state[2])
+
+
 def fused_adam_apply(cfg: Stage1Config, params, grads, opt_state, step,
                      frozen_mask=None):
     """Single-HBM-pass Adam step over the param tree (ops/fused_adam.py).
@@ -276,24 +319,20 @@ def init_fit(key: Array, cfg: Stage1Config):
 
 
 def _denoiser_losses(dparams, cfg: Stage1Config, denoised, raw,
-                     artifact_flat_idx, phase2):
+                     artifact_flat_idx, phase2, denoiser=None):
     """Loss arithmetic of SingleImageDenoiser.__call__ given the field output.
 
     ``dparams``: the denoiser param subtree (shared_artifacts + residual MLP);
     ``denoised``: (B, C) field prediction at the minibatch coords;
     ``raw``: (B, C); ``artifact_flat_idx``: (B,) pixel position within its
-    view grid (G is sampled at exact grid points == gather, module docstring).
+    view grid (G is sampled at exact grid points == gather, module docstring);
+    ``denoiser``: the cfg.modules() instance (constructed here if absent so
+    there is exactly one construction path for the loss arithmetic).
     """
     g = dparams["shared_artifacts"].reshape(-1, cfg.feat_dim)
     shared = g[artifact_flat_idx].astype(raw.dtype)
 
-    d = SingleImageDenoiser(
-        noise_map_height=cfg.noise_map_height,
-        noise_map_width=cfg.noise_map_width,
-        feat_dim=cfg.feat_dim,
-        enable_residual_predictor=cfg.enable_residual_predictor,
-        dtype=cfg.compute_dtype,
-    )
+    d = denoiser if denoiser is not None else cfg.modules()[0]
 
     use_res = cfg.enable_residual_predictor
     gate = jnp.asarray(phase2, raw.dtype)
@@ -326,7 +365,7 @@ def _loss_fn(params, cfg: Stage1Config, denoiser, field, raw, global_coords,
     denoised = field.apply({"params": params["field"]}, global_coords,
                            corner_key)
     return _denoiser_losses(params["denoiser"], cfg, denoised, raw,
-                            artifact_flat_idx, phase2)
+                            artifact_flat_idx, phase2, denoiser=denoiser)
 
 
 def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
@@ -420,20 +459,20 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
                     {"params": fp}, enc, method="from_encoding"
                 )
                 return _denoiser_losses(small_p["denoiser"], cfg, denoised,
-                                        raw, art_idx, phase2)
+                                        raw, art_idx, phase2,
+                                        denoiser=denoiser)
 
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2), has_aux=True
             )(small, coarse_prefix, fine_rows)
             g_small, g_coarse, g_fine = grads
 
-            # phase 2 freezes the shared artifact map (torch-exact: param AND
-            # moments untouched)
+            # torch-exact freeze: param AND moments untouched (G in phase
+            # 2, residual predictor in phase 1 - _phase_frozen_mask)
             g_art = g_small["denoiser"]["shared_artifacts"]
             g_small["denoiser"]["shared_artifacts"] = jnp.where(
                 phase2, 0.0, g_art)
-            frozen = jax.tree.map(lambda _: False, small)
-            frozen["denoiser"]["shared_artifacts"] = phase2
+            frozen = _phase_frozen_mask(small, phase2)
             small2, new_opt = fused_adam_apply(
                 cfg, small, g_small,
                 {"mu": mu_s, "nu": nu_s, "count": step}, step,
@@ -527,15 +566,16 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
         g_grad = grads["denoiser"]["shared_artifacts"]
         grads["denoiser"]["shared_artifacts"] = jnp.where(phase2, 0.0, g_grad)
 
+        # torch-exact freeze in EVERY impl: param AND moments untouched
+        # (G in phase 2, residual predictor h in phase 1 - see
+        # _phase_frozen_mask)
+        frozen = _phase_frozen_mask(params, phase2)
         if cfg.optimizer_impl in ("fused", "pallas"):
-            # torch-exact freeze: param AND moments untouched in phase 2
-            frozen = jax.tree.map(lambda _: False, params)
-            frozen["denoiser"]["shared_artifacts"] = phase2
             params, opt_state = fused_adam_apply(
                 cfg, params, grads, opt_state, step, frozen_mask=frozen)
         else:
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = _optax_apply_frozen(
+                opt, params, grads, opt_state, frozen)
         return (params, opt_state), metrics
 
     steps = start + jnp.arange(length)
@@ -641,15 +681,13 @@ def fit_image_batch(keys: Array, raw_features: Array, pixel_coords: Array,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _init_batch(keys, raw_features, pixel_coords, cfg: Stage1Config):
-    def one(key, raw, coords):
+def _init_batch(keys, cfg: Stage1Config):
+    def one(key):
         init_key, loop_key = jax.random.split(key)
         params, opt_state = init_fit(init_key, cfg)
         return params, opt_state, loop_key
 
-    params, opt_state, loop_keys = jax.vmap(one)(
-        keys, raw_features, pixel_coords
-    )
+    params, opt_state, loop_keys = jax.vmap(one)(keys)
     return {"params": params, "opt_state": opt_state, "loop_keys": loop_keys}
 
 
@@ -692,7 +730,7 @@ def fit_image_batch_chunked(keys, raw_features, pixel_coords,
     """Identical numerics to fit_image_batch, split over several dispatches
     of <= chunk_iters steps each (needed where long-running single programs
     trip device watchdogs; also enables mid-fit progress reporting)."""
-    state = _init_batch(keys, raw_features, pixel_coords, cfg)
+    state = _init_batch(keys, cfg)
     losses = []
     start = 0
     while start < cfg.num_iters:

@@ -87,16 +87,17 @@ def test_pallas_kernel_bf16_moments():
 def test_stage1_fused_matches_optax_fit():
     """End-to-end: a tiny fit with the fused optimizer tracks the optax path.
 
-    freeze point pushed past num_iters so both impls share identical freeze
-    semantics (the fused path implements torch-exact freezing, the optax
-    path the round-1 zeroed-grad approximation).
+    Uses the REAL mid-fit freeze point: both impls now implement
+    torch-exact freezing (param AND moments untouched - G in phase 2,
+    residual predictor in phase 1), so the paths stay equivalent across
+    the phase boundary.
     """
     from dvt_tpu.stage1 import Stage1Config, fit_one_image
 
     base = dict(
         feat_dim=16, noise_map_height=6, noise_map_width=6, n_levels=3,
         num_views=10, num_iters=60, warmup_iters=10, pixel_bsz=64,
-        freeze_shared_artifacts_after=2.0, moments_dtype=jnp.float32,
+        freeze_shared_artifacts_after=0.5, moments_dtype=jnp.float32,
     )
     k = jax.random.PRNGKey(0)
     V, h, w, C = 11, 6, 6, 16
@@ -152,3 +153,59 @@ def test_stochastic_corners_fit_converges():
                                indexing="xy"), -1)[None], (V, 1, 1, 1))
     denoised, metrics = fit_one_image(jax.random.PRNGKey(3), raw, coords, cfg)
     assert float(metrics["final_recon_cos"]) > 0.9
+
+
+@pytest.mark.parametrize("impl,sweep", [("fused", 1), ("optax", 1),
+                                        ("fused", 4)])
+def test_phase_freeze_torch_semantics(impl, sweep):
+    """Torch parameter-participation parity (main_img_denoising.py:70-72):
+
+    * phase 1 leaves the residual predictor EXACTLY at init - its grads
+      are identically zero and torch Adam SKIPS None-grad params, so
+      additive wd must not sign-decay the init;
+    * phase 2 leaves shared_artifacts EXACTLY at its freeze-point value.
+
+    Covers both optimizer impls and the deferred-sweep path (K=4)."""
+    from dvt_tpu.stage1 import Stage1Config, fit_one_image, init_fit
+
+    base = dict(
+        feat_dim=8, noise_map_height=5, noise_map_width=5, n_levels=3,
+        num_views=6, num_iters=40, warmup_iters=4, pixel_bsz=32,
+        moments_dtype=jnp.float32, optimizer_impl=impl,
+        table_sweep_every=sweep,
+    )
+    k = jax.random.PRNGKey(3)
+    V, h, w, C = 7, 5, 5, 8
+    raw = jax.random.normal(k, (V, h, w, C))
+    coords = jax.random.uniform(jax.random.fold_in(k, 1), (V, h, w, 2))
+    fit_key = jax.random.PRNGKey(11)
+
+    # all-phase-1 run: residual init preserved bit-exactly, G trains
+    cfg1 = Stage1Config(**base, freeze_shared_artifacts_after=2.0)
+    init_params, _ = init_fit(jax.random.split(fit_key)[0], cfg1)
+    _, _, p1 = fit_one_image(fit_key, raw, coords, cfg1,
+                             return_params=True)
+    for leaf in ("res_0", "res_2", "res_4"):
+        for name in ("kernel", "bias"):
+            np.testing.assert_array_equal(
+                np.asarray(p1["denoiser"][leaf][name]),
+                np.asarray(init_params["denoiser"][leaf][name]))
+    assert not np.allclose(np.asarray(p1["denoiser"]["shared_artifacts"]),
+                           np.asarray(init_params["denoiser"]
+                                      ["shared_artifacts"]))
+
+    # phase 2 from step 1: G frozen after its single step-0 update
+    # (step 0 is phase 1: the reference's flip is strict step > 0)
+    cfg2 = Stage1Config(**base, freeze_shared_artifacts_after=0.0)
+    cfg2_one = Stage1Config(**{**base, "num_iters": sweep},
+                            freeze_shared_artifacts_after=0.0)
+    _, _, p_full = fit_one_image(fit_key, raw, coords, cfg2,
+                                 return_params=True)
+    _, _, p_one = fit_one_image(fit_key, raw, coords, cfg2_one,
+                                return_params=True)
+    np.testing.assert_array_equal(
+        np.asarray(p_full["denoiser"]["shared_artifacts"]),
+        np.asarray(p_one["denoiser"]["shared_artifacts"]))
+    # and the residual predictor DID train in phase 2
+    assert not np.array_equal(np.asarray(p_full["denoiser"]["res_0"]["kernel"]),
+                              np.asarray(init_params["denoiser"]["res_0"]["kernel"]))
