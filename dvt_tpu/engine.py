@@ -32,7 +32,6 @@ from dvt_tpu.data.single_image import SingleImagePipeline
 from dvt_tpu.models.vit import ViTWrapper
 from dvt_tpu.stage1 import (
     Stage1Config,
-    fit_image_batch,
     fit_image_batch_chunked,
     make_patch_coordinates,
 )
@@ -51,8 +50,11 @@ class Stage1Engine:
     warmup_iters: int = 2500
     n_levels: int = 16
     pixel_bsz: int = 2048
-    extract_bsz: int = 32
-    images_per_batch: int = 4  # vmap width for the fit
+    extract_bsz: int = 128  # measured default (tools/ab_extract.py:
+    # 4.37 -> 3.64 s/768 views at feature cosine 1.0); clamped below to
+    # the largest divisor of num_views
+    images_per_batch: int = 4  # max vmap width per fit dispatch;
+    # denoise_batch chunks larger inputs into groups of this size
     fit_chunk_iters: int = 5000  # steps per dispatch (watchdog-friendly)
     feature_dtype: str = "bfloat16"  # pool storage dtype
     moments_dtype: str = "bfloat16"  # Adam moment storage in the fit
@@ -70,6 +72,10 @@ class Stage1Engine:
     seed: int = 0
 
     def __post_init__(self):
+        if self.fit_chunk_iters <= 0:
+            raise ValueError(
+                f"fit_chunk_iters={self.fit_chunk_iters} must be positive "
+                "(a 0-length chunk would loop forever in the chunked fit)")
         k = self.table_sweep_every
         if k > 1:
             if self.num_iters % k:
@@ -180,26 +186,42 @@ class Stage1Engine:
         feats, coords = self.extract_batch([path_or_array])
         return feats[0], coords[0]
 
-    def extract_batch(self, inputs: Sequence):
+    def extract_batch(self, inputs: Sequence, return_bases: bool = False):
         bases, boxes, flips = [], [], []
         for item in inputs:
             b, bx, fl = self.pipeline.prepare(item)
             bases.append(b)
             boxes.append(bx)
             flips.append(fl)
-        return self._extract_all(
+        bases = np.stack(bases)
+        feats, coords = self._extract_all(
             self.vit.params,
-            jnp.asarray(np.stack(bases)),
+            jnp.asarray(bases),
             jnp.asarray(np.stack(boxes)),
             jnp.asarray(np.stack(flips)),
         )
+        if return_bases:
+            return feats, coords, bases
+        return feats, coords
 
     def denoise_batch(self, inputs: Sequence) -> Tuple[np.ndarray, np.ndarray, dict]:
         """Fit a batch of images concurrently.
 
-        inputs: paths or arrays (<= images_per_batch).
+        inputs: paths or arrays; more than ``images_per_batch`` of them
+        are fitted in groups of that size (a too-wide vmap of 25k-step
+        fits is both slower per image - PLAN.md 0b - and an OOM risk).
         Returns (raw (N, h, w, C), denoised (N, h, w, C), metrics).
         """
+        m = self.images_per_batch
+        if len(inputs) > m:
+            outs = [self.denoise_batch(inputs[i:i + m])
+                    for i in range(0, len(inputs), m)]
+            return (
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+                jax.tree.map(lambda *xs: np.concatenate(xs),
+                             *[o[2] for o in outs]),
+            )
         raw_b, crd_b = self.extract_batch(inputs)
         keys = jax.random.split(
             jax.random.PRNGKey(self.seed), len(inputs)
@@ -218,15 +240,18 @@ class Stage1Engine:
             visualize_offline_denoised_samples,
         )
 
-        raw_b, crd_b = self.extract_batch(inputs)
+        # bases returned from the one prepare() pass: re-preparing per
+        # image would re-decode AND advance the crop sampler's RNG,
+        # making crop sequences depend on --vis_freq
+        raw_b, crd_b, bases = self.extract_batch(inputs, return_bases=True)
         keys = jax.random.split(jax.random.PRNGKey(self.seed), len(inputs))
         denoised, metrics, params = fit_image_batch_chunked(
             keys, raw_b, crd_b, self.cfg, self.fit_chunk_iters,
             return_params=True,
         )
         panels = []
-        for i, item in enumerate(inputs):
-            p_i = jax.tree.map(lambda x: x[i], params)
+        for i in range(len(inputs)):
+            p_i = jax.tree.map(lambda x, i=i: x[i], params)
             dec = decompose_full_image(
                 p_i,
                 self.cfg,
@@ -234,9 +259,8 @@ class Stage1Engine:
                 crd_b[i, -1],
             )
             dec = jax.tree.map(np.asarray, dec)
-            base, _, _ = self.pipeline.prepare(item)
             img01 = np.clip(
-                base * np.asarray(self.vit.cfg.std)
+                bases[i] * np.asarray(self.vit.cfg.std)
                 + np.asarray(self.vit.cfg.mean),
                 0,
                 1,

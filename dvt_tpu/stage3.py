@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dvt_tpu.models.online_denoiser import Denoiser
+from dvt_tpu.models.online_denoiser import denoiser_from_params
 from dvt_tpu.models.vit import VisionTransformer
 from dvt_tpu.models.zoo import ViTConfig, get_model_config
 from dvt_tpu.parallel.mesh import safe_donate_argnums
@@ -39,7 +39,8 @@ class Stage3Config:
     model: str = "vit_base_patch14_dinov2.lvd142m"
     stride: int = 14
     input_size: int = 518
-    num_blocks: int = 1
+    num_blocks: int = 1  # unused by the trainer: teacher depth comes
+    # from the stage-2 checkpoint itself (denoiser_from_params)
     num_iterations: int = 100_000
     blr: float = 2.0e-4
     min_lr: float = 1.0e-6
@@ -109,14 +110,14 @@ class Stage3Trainer:
             remat=cfg.grad_checkpointing,
             attention_impl=cfg.attention_impl,
         )
-        gh, gw = cfg.feat_grid
-        self.denoiser = Denoiser(
-            noise_map_height=gh,
-            noise_map_width=gw,
-            feat_dim=vit_cfg.embed_dim,
-            num_blocks=cfg.num_blocks,
-            dtype=cfg.compute_dtype,
-        )
+        # Teacher static config DERIVED FROM THE CHECKPOINT (depth from
+        # blocks_N entries, grid from pos_embed - which the module
+        # resamples to the runtime grid at apply time). Building from
+        # cfg.num_blocks would SILENTLY truncate a deeper stage-2
+        # checkpoint to the configured depth (flax ignores unused params)
+        # and crash the pos-embed resample on a grid mismatch.
+        self.denoiser = denoiser_from_params(
+            denoiser_params, vit_cfg.embed_dim, dtype=cfg.compute_dtype)
         self.schedule = cosine_schedule(
             cfg.lr, cfg.min_lr, cfg.num_iterations, cfg.warmup_iters
         )
