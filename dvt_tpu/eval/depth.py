@@ -73,7 +73,9 @@ class DepthBNHead(nn.Module):
         logit = nn.relu(logit) + 0.1
         logit = logit / jnp.sum(logit, axis=-1, keepdims=True)
         bins = jnp.linspace(self.min_depth, self.max_depth, self.n_bins)
-        return jnp.einsum("bhwk,k->bhw", logit, bins)
+        # precision pinned: this contraction IS the depth prediction
+        # (CLAUDE.md: fidelity-sensitive einsums pass precision explicitly)
+        return jnp.einsum("bhwk,k->bhw", logit, bins, precision="highest")
 
 
 def sig_loss(pred: Array, gt: Array, max_depth: Optional[float] = None,
@@ -163,13 +165,14 @@ def cosine_annealing_schedule(base_lr: float, total_iters: int,
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        # mmcv linear warmup: lr = base * (1 - (1 - t/w) * (1 - ratio))
-        warm = base_lr * (
-            1.0 - (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
-        )
         t = jnp.clip(step / total_iters, 0.0, 1.0)
         cos = min_lr + (base_lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
-        return jnp.where(step < warmup_iters, warm, cos)
+        # mmcv linear warmup factor k = 1 - (1 - t/w)(1 - ratio) scales
+        # the CURRENT annealed lr (get_warmup_lr multiplies regular_lr) -
+        # scaling base_lr instead overshoots by up to 33% on the NYU
+        # recipe (warmup 12800 of 38400) and steps discontinuously
+        k = 1.0 - (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        return jnp.where(step < warmup_iters, k * cos, cos)
 
     return fn
 

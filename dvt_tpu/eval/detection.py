@@ -5,9 +5,12 @@ only the backbone adapters (evaluation/vitdet/) plus a config
 (evaluation/configs/vitb_voc2012_vitdet_config.py) whose mmdet base file
 ``faster_rcnn_r50_fpn.py`` is absent, so its detection eval is not runnable
 as shipped. This module provides a runnable TPU-native equivalent of that
-config's model: frozen ViT backbone (windowed attention) -> SimpleFPN ->
-RPN -> RoIAlign -> 2-FC box head, with the standard Faster-RCNN losses and
-a VOC-style AP@0.5 evaluator.
+config's model: frozen ViT backbone (windowed attention) -> SimpleFPN
+(num_outs=5: p6 maxpool level for the RPN) -> 2-conv RPN -> RoIAlign ->
+Shared4Conv1FC box head with LN2d (the config's overrides,
+vitb_voc2012_vitdet_config.py:62-81), AdamW + mmcv step LR
+([20000, 22000] gamma 0.1, warmup 100), standard Faster-RCNN losses and a
+VOC-style AP@0.5 evaluator.
 
 TPU-first shapes: every stage is fixed-size (padded proposals, masked
 boxes), NMS is an iterative argmax/mask loop under ``lax.fori_loop``, and
@@ -15,8 +18,10 @@ RoIAlign is a vmapped bilinear gather - no dynamic shapes anywhere, so the
 whole train step is one XLA program.
 
 Box convention: (x1, y1, x2, y2) in input-image pixels. Delta encoding is
-the Faster-RCNN standard (dx, dy normalized by anchor size; dw, dh in
-log-space), matching mmdet's DeltaXYWHBBoxCoder with unit target stds.
+mmdet's DeltaXYWHBBoxCoder: unit stds for the RPN, [.1,.1,.2,.2] for the
+RCNN stage. Test NMS is per-class via the batched_nms class-offset trick
+on each proposal's argmax class - a documented simplification vs mmdet's
+multiclass_nms, which scores every (proposal, class) pair.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 Array = jax.Array
 
@@ -50,8 +56,13 @@ def box_iou(a: Array, b: Array) -> Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
-def encode_deltas(anchors: Array, gt: Array) -> Array:
-    """Anchor -> gt regression targets (dx, dy, dw, dh)."""
+# mmdet DeltaXYWHBBoxCoder target stds: the RCNN stage uses
+# [0.1, 0.1, 0.2, 0.2] (faster_rcnn base model), the RPN unit stds.
+RCNN_DELTA_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+def encode_deltas(anchors: Array, gt: Array, stds=None) -> Array:
+    """Anchor -> gt regression targets (dx, dy, dw, dh) / stds."""
     aw = anchors[..., 2] - anchors[..., 0]
     ah = anchors[..., 3] - anchors[..., 1]
     ax = (anchors[..., 0] + anchors[..., 2]) * 0.5
@@ -60,17 +71,22 @@ def encode_deltas(anchors: Array, gt: Array) -> Array:
     gh = jnp.maximum(gt[..., 3] - gt[..., 1], 1e-6)
     gx = (gt[..., 0] + gt[..., 2]) * 0.5
     gy = (gt[..., 1] + gt[..., 3]) * 0.5
-    return jnp.stack([
+    out = jnp.stack([
         (gx - ax) / jnp.maximum(aw, 1e-6),
         (gy - ay) / jnp.maximum(ah, 1e-6),
         jnp.log(gw / jnp.maximum(aw, 1e-6)),
         jnp.log(gh / jnp.maximum(ah, 1e-6)),
     ], axis=-1)
+    if stds is not None:
+        out = out / jnp.asarray(stds, out.dtype)
+    return out
 
 
 def decode_deltas(anchors: Array, deltas: Array,
-                  max_wh: float = 4.135) -> Array:
-    """Apply (dx, dy, dw, dh) to anchors; log-space deltas clamped."""
+                  max_wh: float = 4.135, stds=None) -> Array:
+    """Apply (dx, dy, dw, dh) * stds to anchors; log deltas clamped."""
+    if stds is not None:
+        deltas = deltas * jnp.asarray(stds, deltas.dtype)
     aw = anchors[..., 2] - anchors[..., 0]
     ah = anchors[..., 3] - anchors[..., 1]
     ax = (anchors[..., 0] + anchors[..., 2]) * 0.5
@@ -173,18 +189,24 @@ def roi_align(feat: Array, boxes: Array, output_size: int = 7,
 # ---------- heads ----------
 
 class RPNHead(nn.Module):
-    """3x3 conv + 1x1 objectness/delta heads, shared across levels."""
+    """Stacked 3x3 convs + 1x1 objectness/delta heads, shared across
+    levels (the VOC config overrides rpn_head=dict(num_convs=2),
+    vitb_voc2012_vitdet_config.py:74)."""
 
     num_anchors: int = 3
+    num_convs: int = 2
 
     @nn.compact
     def __call__(self, feats: Sequence[Array]):
-        conv = nn.Conv(256, (3, 3), padding="SAME", name="rpn_conv")
+        convs = [nn.Conv(256, (3, 3), padding="SAME", name=f"rpn_conv_{i}")
+                 for i in range(self.num_convs)]
         cls = nn.Conv(self.num_anchors, (1, 1), name="rpn_cls")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), name="rpn_reg")
         logits, deltas = [], []
         for f in feats:
-            x = nn.relu(conv(f))
+            x = f
+            for conv in convs:
+                x = nn.relu(conv(x))
             b, h, w, _ = x.shape
             logits.append(cls(x).reshape(b, h * w * self.num_anchors))
             deltas.append(reg(x).reshape(b, h * w * self.num_anchors, 4))
@@ -192,17 +214,35 @@ class RPNHead(nn.Module):
 
 
 class BoxHead(nn.Module):
-    """2-FC head: RoI features -> (num_classes + 1) logits + per-class-
-    agnostic box deltas (mmdet shared2fc bbox head, class-agnostic reg)."""
+    """RoI box head -> (num_classes + 1) logits + class-agnostic deltas.
+
+    Default variant 'shared4conv1fc' matches the VOC config's
+    Shared4Conv1FCBBoxHead override (4x [conv3x3(256) + LN2d + relu] then
+    one 1024-FC, norm_cfg=LN2d - vitb_voc2012_vitdet_config.py:62,75-81);
+    'shared2fc' keeps the mmdet base-model 2-FC head."""
 
     num_classes: int
     hidden: int = 1024
+    conv_channels: int = 256
+    variant: str = "shared4conv1fc"
 
     @nn.compact
     def __call__(self, rois: Array):
-        x = rois.reshape(rois.shape[0], -1)
-        x = nn.relu(nn.Dense(self.hidden, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.hidden, name="fc2")(x))
+        from dvt_tpu.eval.vitdet import LN2d
+
+        x = rois
+        if self.variant == "shared4conv1fc":
+            for i in range(4):
+                x = nn.Conv(self.conv_channels, (3, 3), padding="SAME",
+                            use_bias=False, name=f"conv{i}")(x)
+                x = LN2d(name=f"conv{i}_ln")(x)
+                x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Dense(self.hidden, name="fc1")(x))
+        else:  # shared2fc
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Dense(self.hidden, name="fc1")(x))
+            x = nn.relu(nn.Dense(self.hidden, name="fc2")(x))
         logits = nn.Dense(self.num_classes + 1, name="cls")(x)
         deltas = nn.Dense(4, name="reg")(x)
         return logits, deltas
@@ -220,11 +260,14 @@ def assign_anchors(anchors: Array, gt_boxes: Array, gt_valid: Array,
     best_iou = jnp.max(iou, axis=1)
     labels = jnp.where(best_iou >= pos_thr, 1,
                        jnp.where(best_iou < neg_thr, 0, -1))
-    # each gt's best anchor is positive (mmdet's match_low_quality)
+    # each gt's best anchor is positive (mmdet's match_low_quality).
+    # Invalid gt slots route to an out-of-range index and are DROPPED:
+    # scattering their False at a shared index with a real gt's True
+    # would race (duplicate-index .set order is implementation-defined)
     gt_best_anchor = jnp.argmax(iou, axis=0)  # (G,)
-    forced = jnp.zeros(anchors.shape[0], bool).at[gt_best_anchor].set(
-        gt_valid
-    )
+    n = anchors.shape[0]
+    idx = jnp.where(gt_valid, gt_best_anchor, n)
+    forced = jnp.zeros(n, bool).at[idx].set(True, mode="drop")
     labels = jnp.where(forced, 1, labels)
     return labels, best_gt
 
@@ -244,6 +287,24 @@ def map_roi_levels(boxes: Array, num_levels: int = 4,
 def smooth_l1(x: Array, beta: float = 1.0) -> Array:
     ax = jnp.abs(x)
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def step_schedule(base_lr: float, steps=(20_000, 22_000), gamma: float = 0.1,
+                  warmup_iters: int = 100, warmup_ratio: float = 1e-3):
+    """mmcv step LR policy with linear warmup (the VOC detection config's
+    lr_config: policy='step', step=[20000, 22000], gamma=0.1, warmup 100
+    iters at ratio 1e-3 - vitb_voc2012_vitdet_config.py:100-108). The
+    warmup factor multiplies the CURRENT stepped lr (mmcv get_warmup_lr
+    scales regular_lr)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        n_past = sum((step >= s).astype(jnp.float32) for s in steps)
+        regular = base_lr * gamma ** n_past
+        k = 1.0 - (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        return jnp.where(step < warmup_iters, k * regular, regular)
+
+    return fn
 
 
 def subsample_mask(key, labels: Array, num: int, pos_fraction: float = 0.5):
@@ -288,26 +349,29 @@ class FasterRCNNProbe:
     image_size: int = 512
     lr: float = 1e-4
     weight_decay: float = 0.1
-    total_iters: int = 24_000
+    total_iters: int = 24_000  # runner max_iters (the step LR's decay
+    # points are absolute mmcv steps [20000, 22000], not fractions)
     rpn_sample: int = 256
     roi_sample: int = 128
     num_proposals: int = 300
-    warmup_iters: int = 500
+    warmup_iters: int = 100  # config lr_config warmup_iters
     seed: int = 0
 
     def __post_init__(self):
-        import optax
-
-        from dvt_tpu.eval.seg import poly_schedule
         from dvt_tpu.eval.vitdet import SimpleFPN
 
         self.fpn = SimpleFPN(out_channels=256)
         self.rpn = RPNHead()
         self.box_head = BoxHead(self.num_classes)
+        # RPN sees 5 levels (config neck num_outs=5: p6 = stride-2
+        # 1x1 maxpool of p5, mmdet FPN add_extra_convs default); the
+        # RoI extractor keeps the first 4 (SingleRoIExtractor
+        # featmap_strides)
         self.strides = [self.input_stride // 4, self.input_stride // 2,
-                        self.input_stride, self.input_stride * 2]
-        self.schedule = poly_schedule(self.lr, self.total_iters, 1.0,
-                                      self.warmup_iters)
+                        self.input_stride, self.input_stride * 2,
+                        self.input_stride * 4]
+        self.schedule = step_schedule(self.lr,
+                                      warmup_iters=self.warmup_iters)
         self.tx = optax.adamw(self.schedule, weight_decay=self.weight_decay)
         self._train_jit = jax.jit(self._train_step)
         self._infer_jit = jax.jit(self._infer)
@@ -316,8 +380,9 @@ class FasterRCNNProbe:
     def _anchors(self, feat_hw: Tuple[int, int]):
         anchors = []
         h, w = feat_hw
-        sizes = [(h * 4, w * 4), (h * 2, w * 2), (h, w),
-                 (h // 2, w // 2)]  # p5 = 2x2 VALID maxpool -> floor
+        h5, w5 = h // 2, w // 2  # p5 = 2x2 VALID maxpool -> floor
+        sizes = [(h * 4, w * 4), (h * 2, w * 2), (h, w), (h5, w5),
+                 ((h5 + 1) // 2, (w5 + 1) // 2)]  # p6 = 1x1 s2 pool
         for (lh, lw), s in zip(sizes, self.strides):
             anchors.append(generate_anchors((lh, lw), s))
         return jnp.asarray(np.concatenate(anchors), jnp.float32)
@@ -332,7 +397,8 @@ class FasterRCNNProbe:
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(self.seed), 3)
         fpn_p = self.fpn.init(k1, feats)["params"]
         levels = self.fpn.apply({"params": fpn_p}, feats)
-        rpn_p = self.rpn.init(k2, levels)["params"]
+        p6 = nn.max_pool(levels[-1], (1, 1), strides=(2, 2))
+        rpn_p = self.rpn.init(k2, list(levels) + [p6])["params"]
         rois = jnp.zeros((1, 7, 7, 256))
         box_p = self.box_head.init(k3, rois)["params"]
         params = {"fpn": fpn_p, "rpn": rpn_p, "box": box_p}
@@ -344,7 +410,11 @@ class FasterRCNNProbe:
 
     def _forward_rpn(self, params, feats):
         levels = self.fpn.apply({"params": params["fpn"]}, feats)
-        logits, deltas = self.rpn.apply({"params": params["rpn"]}, levels)
+        # p6 for the RPN only (config num_outs=5): 1x1 stride-2 maxpool
+        # of p5, mmdet FPN extra level
+        p6 = nn.max_pool(levels[-1], (1, 1), strides=(2, 2))
+        logits, deltas = self.rpn.apply({"params": params["rpn"]},
+                                        list(levels) + [p6])
         return levels, logits, deltas
 
     def _proposals(self, anchors, logits, deltas):
@@ -371,7 +441,7 @@ class FasterRCNNProbe:
             )
             cls_m = pos_m | neg_m
             tgt = (labels == 1).astype(jnp.float32)
-            bce = optax_sigmoid_ce(logits[i], tgt)
+            bce = optax.sigmoid_binary_cross_entropy(logits[i], tgt)
             total_rpn_cls += jnp.sum(bce * cls_m) / jnp.maximum(
                 jnp.sum(cls_m), 1)
             reg_t = encode_deltas(anchors, gt_boxes[i][match])
@@ -403,10 +473,12 @@ class FasterRCNNProbe:
             roi_logits, roi_deltas = self.box_head.apply(
                 {"params": params["box"]}, rois
             )
-            ce = softmax_ce(roi_logits, cls_t)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                roi_logits, cls_t)
             total_roi_cls += jnp.sum(ce * sample_m) / jnp.maximum(
                 jnp.sum(sample_m), 1)
-            roi_t = encode_deltas(props, gt_boxes[i][pmatch])
+            roi_t = encode_deltas(props, gt_boxes[i][pmatch],
+                                  stds=RCNN_DELTA_STDS)
             roi_l = smooth_l1(roi_deltas - roi_t).sum(-1)
             total_roi_reg += jnp.sum(roi_l * pos_p) / jnp.maximum(
                 jnp.sum(pos_p), 1)
@@ -436,7 +508,6 @@ class FasterRCNNProbe:
             return self._loss(params, key, feats, gt_boxes, gt_labels,
                               gt_valid, anchors)
 
-        import optax
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
@@ -469,9 +540,16 @@ class FasterRCNNProbe:
             probs = jax.nn.softmax(roi_logits, -1)
             cls = jnp.argmax(probs[:, 1:], -1)
             score = jnp.max(probs[:, 1:], -1) * ok
-            boxes = jnp.clip(decode_deltas(props, roi_deltas), 0,
-                             self.image_size)
-            keep, kok = nms(boxes, score, 0.5, self.num_proposals,
+            boxes = jnp.clip(
+                decode_deltas(props, roi_deltas, stds=RCNN_DELTA_STDS),
+                0, self.image_size)
+            # per-class NMS via the mmdet batched_nms class-offset trick:
+            # boxes shifted by class * (max coord + 1) never overlap
+            # across classes, so one shape-static NMS call suppresses
+            # within each class only (multiclass_nms semantics for the
+            # proposal's argmax class)
+            off = cls.astype(boxes.dtype)[:, None] * (self.image_size + 1.0)
+            keep, kok = nms(boxes + off, score, 0.5, self.num_proposals,
                             score_thr=0.05)
             return boxes[keep], score[keep] * kok, cls[keep], kok
 
@@ -480,16 +558,6 @@ class FasterRCNNProbe:
 
     def predict(self, state, images):
         return self._infer_jit(state, images, self.feature_params)
-
-
-def optax_sigmoid_ce(logits: Array, targets: Array) -> Array:
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
-
-
-def softmax_ce(logits: Array, labels: Array) -> Array:
-    logp = jax.nn.log_softmax(logits, -1)
-    return -jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
 
 
 def voc_ap50(all_dets: List[Dict], all_gts: List[Dict],

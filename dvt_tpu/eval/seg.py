@@ -90,11 +90,13 @@ def poly_schedule(base_lr: float, total_iters: int, power: float = 1.0,
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        warm_frac = warmup_ratio + (1 - warmup_ratio) * (step / max(warmup_iters, 1))
-        warm = base_lr * warm_frac
         t = jnp.clip(step / total_iters, 0.0, 1.0)
         poly = (base_lr - min_lr) * (1 - t) ** power + min_lr
-        return jnp.where(step < warmup_iters, warm, poly)
+        # mmcv warmup multiplies the factor into the CURRENT annealed lr
+        # (LrUpdaterHook.get_warmup_lr scales regular_lr, not base_lr),
+        # so the curve is continuous at warmup end
+        k = 1.0 - (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        return jnp.where(step < warmup_iters, k * poly, poly)
 
     return fn
 
