@@ -77,10 +77,23 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hidden = int(self.cfg.embed_dim * self.cfg.mlp_ratio)
         dense = lambda n, name: nn.Dense(
             n, dtype=self.dtype, precision=self.precision, name=name
         )
+        if self.cfg.act == "swiglu_packed":
+            # timm SwiGLUPacked / official DINOv2 SwiGLUFFNFused (giant):
+            # one packed fc1 -> chunk 2 -> silu(x1) * x2 -> fc2. Geometry
+            # comes from cfg.glu_hidden (DINOv2 giant: w12 1536->8192,
+            # w3 4096->1536); the packed fc1/fc2 names match the timm
+            # state dict so the generic converter maps it unchanged.
+            hidden = self.cfg.glu_hidden or int(
+                self.cfg.embed_dim * self.cfg.mlp_ratio * 2 / 3)
+            x = dense(2 * hidden, "fc1")(x)
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            x = nn.silu(x1) * x2
+            x = dense(self.cfg.embed_dim, "fc2")(x)
+            return x
+        hidden = int(self.cfg.embed_dim * self.cfg.mlp_ratio)
         x = dense(hidden, "fc1")(x)
         x = _act(self.cfg.act)(x)
         x = dense(self.cfg.embed_dim, "fc2")(x)
@@ -366,6 +379,11 @@ class VisionTransformer(nn.Module):
         final_norm = nn.LayerNorm(
             epsilon=cfg.norm_eps, dtype=self.dtype, name="norm"
         )
+        # touch the LayerNorm unconditionally so its params always exist:
+        # a module initialized with norm=False would otherwise produce a
+        # tree that fails a later apply with norm=True (XLA dead-code-
+        # eliminates the unused result when norm=False)
+        _ = final_norm(x)
 
         feat_maps, prefix_out = [], []
         for i in indices:

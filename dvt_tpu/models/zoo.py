@@ -38,7 +38,9 @@ class ViTConfig:
     pre_norm: bool = False  # CLIP: LayerNorm before the blocks
     init_values: Optional[float] = None  # LayerScale init (DINOv2, DeiT-III)
     norm_eps: float = 1e-6
-    act: str = "gelu"  # "gelu" | "quick_gelu"
+    act: str = "gelu"  # "gelu" | "quick_gelu" | "swiglu_packed"
+    glu_hidden: Optional[int] = None  # gate width for swiglu_packed
+    # (DINOv2 giant: 4096 - official SwiGLUFFNFused w12 1536->8192)
     qkv_bias: bool = True
     # EVA02 family
     eva_arch: bool = False  # swiglu MLP w/ inner norm, separate qkv, rope
@@ -92,9 +94,10 @@ def _dinov2(size, patch=14, reg=0):
     reg_str = "_reg4" if reg else ""
     kw = dict(_SIZES[size])
     if size == "giant":
-        # timm dinov2-giant uses SwiGLU; modelled as eva-style mlp is wrong,
-        # so keep plain gelu here and flag giant as approximate for now.
-        pass
+        # DINOv2 giant uses the packed SwiGLU MLP (official
+        # SwiGLUFFNFused: w12 1536->8192, w3 4096->1536; timm
+        # SwiGLUPacked loads the same weights)
+        kw.update(act="swiglu_packed", glu_hidden=4096)
     return ViTConfig(
         name=f"vit_{size}_patch{patch}{reg_str}_dinov2.lvd142m",
         patch_size=patch,
@@ -148,7 +151,23 @@ _register(
         patch_size=16,
         pre_norm=True,
         norm_eps=1e-5,
-        act="quick_gelu",
+        # timm's vit_base_patch16_clip_224 applies STANDARD GELU even
+        # with .openai weights (its QuickGELU-correct twin is the
+        # separate _quickgelu_ identifier below) - the reference loads
+        # this exact identifier through timm, so parity means gelu here
+        act="gelu",
+        mean=OPENAI_CLIP_MEAN,
+        std=OPENAI_CLIP_STD,
+        **_SIZES["base"],
+    )
+)
+_register(
+    ViTConfig(
+        name="vit_base_patch16_clip_quickgelu_224.openai",
+        patch_size=16,
+        pre_norm=True,
+        norm_eps=1e-5,
+        act="quick_gelu",  # the activation OpenAI CLIP actually trained
         mean=OPENAI_CLIP_MEAN,
         std=OPENAI_CLIP_STD,
         **_SIZES["base"],
@@ -174,6 +193,9 @@ _register(
         name="deit3_base_patch16_224.fb_in1k",
         patch_size=16,
         init_values=1e-6,
+        # timm deit3_* set no_embed_class=True: pos_embed covers ONLY the
+        # 196 patch tokens; the cls token gets no position embedding
+        no_embed_class=True,
         **_SIZES["base"],
     )
 )

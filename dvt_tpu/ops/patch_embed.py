@@ -39,26 +39,21 @@ def extract_patches(x: Array, patch: int, stride: int) -> Array:
     mh, mw = need_h // g, need_w // g
     tiles = x.reshape(b, mh, g, mw, g, c)
 
-    rows = []
-    for u in range(k):
-        cols = []
-        for v in range(k):
-            sl = tiles[
-                :,
-                u : u + (gh - 1) * step + 1 : step,
-                :,
-                v : v + (gw - 1) * step + 1 : step,
-                :,
-                :,
-            ]  # (B, gh, g, gw, g, C)
-            cols.append(sl)
-        # assemble the v axis: (B, gh, g, gw, k, g, C)
-        rows.append(jnp.stack(cols, axis=4))
-    # (B, gh, k, g, gw, k, g, C)
-    win = jnp.stack(rows, axis=2)
-    # -> (B, gh, gw, k, g, k, g, C)
-    win = jnp.moveaxis(win, 4, 2)
-    win = win.reshape(b, gh, gw, patch, patch, c)
+    # separable assembly: k strided slices along H, then k along W -
+    # 2k ops instead of k^2 (k = patch // gcd hits 16 at the default
+    # stride 7 on patch-16 models, where k^2 = 256 slice+stack ops
+    # bloated the traced graph)
+    rows = jnp.stack([
+        tiles[:, u : u + (gh - 1) * step + 1 : step]
+        for u in range(k)
+    ], axis=2)  # (B, gh, k, g, mw, g, C)
+    rows = rows.reshape(b, gh, patch, mw, g, c)
+    cols = jnp.stack([
+        rows[:, :, :, v : v + (gw - 1) * step + 1 : step]
+        for v in range(k)
+    ], axis=4)  # (B, gh, patch, gw, k, g, C)
+    win = cols.reshape(b, gh, patch, gw, patch, c)
+    win = jnp.moveaxis(win, 2, 3)  # (B, gh, gw, ph, pw, C)
     return win.reshape(b, gh, gw, patch * patch * c)
 
 

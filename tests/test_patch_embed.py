@@ -26,6 +26,8 @@ def naive_patches(x, patch, stride):
         (8, 8, (32, 24)),   # stride == patch
         (14, 7, (42, 56)),  # gcd 7 (DVT stage-1 stride override)
         (14, 4, (38, 30)),  # gcd 2 (video-demo stride 4)
+        (16, 7, (48, 41)),  # gcd 1 worst case (patch-16 at stride 7)
+        (16, 5, (46, 36)),  # gcd 1, another pitch
         (9, 3, (27, 21)),   # gcd 3, odd patch
     ],
 )

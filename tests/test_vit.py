@@ -79,6 +79,13 @@ def make_torch_state_dict(cfg: ViTConfig, seed=0):
             sd[f"{b}.mlp.norm.bias"] = r(hidden)
             sd[f"{b}.mlp.fc2.weight"] = r(d, hidden)
             sd[f"{b}.mlp.fc2.bias"] = r(d)
+        elif cfg.act == "swiglu_packed":
+            # DINOv2-giant style packed SwiGLU (timm SwiGLUPacked)
+            gh_ = cfg.glu_hidden or int(d * cfg.mlp_ratio * 2 / 3)
+            sd[f"{b}.mlp.fc1.weight"] = r(2 * gh_, d)
+            sd[f"{b}.mlp.fc1.bias"] = r(2 * gh_)
+            sd[f"{b}.mlp.fc2.weight"] = r(d, gh_)
+            sd[f"{b}.mlp.fc2.bias"] = r(d)
         else:
             sd[f"{b}.mlp.fc1.weight"] = r(hidden, d)
             sd[f"{b}.mlp.fc1.bias"] = r(hidden)
@@ -215,6 +222,11 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
             y = F.layer_norm(y, (y.shape[-1],), sd[f"{bk}.mlp.norm.weight"],
                              sd[f"{bk}.mlp.norm.bias"], eps=cfg.norm_eps)
             y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
+        elif cfg.act == "swiglu_packed":
+            y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
+            y1, y2 = y.chunk(2, dim=-1)
+            y = F.silu(y1) * y2
+            y = F.linear(y, sd[f"{bk}.mlp.fc2.weight"], sd[f"{bk}.mlp.fc2.bias"])
         else:
             y = F.linear(y, sd[f"{bk}.mlp.fc1.weight"], sd[f"{bk}.mlp.fc1.bias"])
             y = act(y)
@@ -242,6 +254,8 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         (dict(reg_tokens=4, no_embed_class=True), 4),  # register tokens
         (dict(class_token=False, no_embed_class=True), 8),  # pure spatial
         (dict(pre_norm=True, act="quick_gelu", norm_eps=1e-5), 4),  # CLIP-style
+        # DINOv2-giant style packed SwiGLU (LayerScale like the real one)
+        (dict(act="swiglu_packed", glu_hidden=24, init_values=1e-5), 8),
         # EVA02: separate qkv + SwiGLU w/ inner LN, rope off / on, incl.
         # the stride-override (ref-shape-scaled rope) case
         (dict(eva_arch=True, use_rope=False, mlp_ratio=8 / 3), 8),
@@ -351,3 +365,19 @@ def test_rope_relative_position_property():
         np.full(gh * gw, np.linalg.norm(np.asarray(q[0, 0, 0]))),
         rtol=1e-5,
     )
+
+
+def test_zoo_family_facts():
+    """Config data that golden-parity depends on (timm facts that broke
+    once): deit3 is no_embed_class, the plain clip_224.openai identifier
+    computes STANDARD gelu in timm (its quickgelu twin is separate), and
+    DINOv2 giant is packed SwiGLU with the official 4096 gate width."""
+    d3 = get_model_config("deit3_base_patch16_224.fb_in1k")
+    assert d3.no_embed_class and d3.num_pos_tokens == 196
+    assert get_model_config("vit_base_patch16_clip_224.openai").act == "gelu"
+    assert get_model_config(
+        "vit_base_patch16_clip_quickgelu_224.openai").act == "quick_gelu"
+    g = get_model_config("vit_giant_patch14_dinov2.lvd142m")
+    assert g.act == "swiglu_packed" and g.glu_hidden == 4096
+    gr = get_model_config("vit_giant_patch14_reg4_dinov2.lvd142m")
+    assert gr.act == "swiglu_packed" and gr.glu_hidden == 4096
