@@ -109,3 +109,17 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
     )
+
+
+def local_rows(a, n: Optional[int] = None) -> np.ndarray:
+    """First ``n`` process-LOCAL rows of a (possibly globally sharded)
+    batch array. Eagerly slicing/np.asarray-ing a multi-host global array
+    raises (non-addressable shards); visualization paths use this to
+    render each process's own samples instead."""
+    if isinstance(a, np.ndarray):
+        return a[:n]
+    if hasattr(a, "addressable_shards") and not getattr(
+            a, "is_fully_addressable", True):
+        parts = [np.asarray(s.data) for s in a.addressable_shards]
+        return np.concatenate(parts)[:n]
+    return np.asarray(a)[:n]

@@ -192,3 +192,20 @@ class Stage3Trainer:
         images = jax.device_put(images, self._data_sharding)
         self.state, metrics = self._step(self.state, self.teacher, images)
         return metrics
+
+    def _vis(self, state, teacher, images):
+        images = images.astype(self.cfg.compute_dtype)
+        raw = self.vit.apply({"params": teacher["vit"]}, images,
+                             norm=True)[-1]
+        den = self.denoiser.apply({"params": teacher["denoiser"]}, raw)
+        pred = self._student_feats(state["params"], images)
+        return (raw.astype(jnp.float32), den.astype(jnp.float32),
+                pred.astype(jnp.float32))
+
+    def vis_features(self, images: Array):
+        """(teacher raw, teacher denoised target, student pred) fp32 maps
+        for the reference's vis_freq panels (main_distillation.py:285-293).
+        ``images`` should be process-local (rank 0 renders its own)."""
+        if not hasattr(self, "_vis_jit"):
+            self._vis_jit = jax.jit(self._vis)
+        return self._vis_jit(self.state, self.teacher, jnp.asarray(images))

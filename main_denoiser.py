@@ -48,18 +48,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
-    if isinstance(args.input_size, int):
-        args.input_size = (args.input_size, args.input_size)
-    else:
-        args.input_size = tuple(args.input_size[:2]) if len(args.input_size) > 1 \
-            else (args.input_size[0], args.input_size[0])
-    if args.auto_stride:
-        args.stride_size = zoo.patch_size_of(args.model)
-    if args.stride_size in (8, 16) and args.input_size[0] == 518:
-        args.input_size = (512, 512)
-    assert args.input_size[0] % args.stride_size == 0
-    assert args.input_size[1] % args.stride_size == 0
-    return args
+    from dvt_tpu.utils.platform import normalize_input_geometry
+
+    return normalize_input_geometry(args, zoo)
 
 
 def main():
@@ -69,13 +60,12 @@ def main():
 
     args = get_args()
     import jax
-    import jax.numpy as jnp
 
     from dvt_tpu.data.paired_list import PairedListDataset
     from dvt_tpu.data.prefetch import DataLoader
     from dvt_tpu.data.samplers import DistributedInfiniteSampler
     from dvt_tpu.models.zoo import get_model_config
-    from dvt_tpu.parallel.mesh import make_mesh, shard_batch
+    from dvt_tpu.parallel.mesh import local_rows, make_mesh, shard_batch
     from dvt_tpu.stage2 import Stage2Config, Stage2Trainer
     from dvt_tpu.train.checkpoint import CheckpointManager
     from dvt_tpu.train.logging import MetricLogger, setup_logging
@@ -133,9 +123,9 @@ def main():
     # batch from the per-process rows (multi-host) or device_puts (1 host)
     if global_bs % jax.process_count():
         raise SystemExit(
-            f"--batch_size {global_bs} must be divisible by the process "
-            f"count {jax.process_count()} (each process loads an equal "
-            "share of the global batch)")
+            f"global batch {global_bs} (= --batch_size summed over "
+            f"devices) must be divisible by the process count "
+            f"{jax.process_count()} - each process loads an equal share")
     local_bs = global_bs // jax.process_count()
     loader = DataLoader(
         dataset, local_bs, sampler, num_workers=args.num_workers,
@@ -168,27 +158,35 @@ def main():
             grad_norm=float(metrics["grad_norm"]),
             lr=float(metrics["lr"]),
         )
-        if jax.process_index() == 0:
-            if ckpt.should_save(step, args.num_iterations):
-                ckpt.save(step, trainer.state)
+        # orbax save is a cross-process collective: EVERY process must
+        # call it (a rank-0 gate deadlocks multi-host runs in the commit
+        # barrier - the stage-3 CLI documents the same); orbax itself
+        # writes from one host
+        if ckpt.should_save(step, args.num_iterations):
+            ckpt.save(step, trainer.state)
+            if jax.process_index() == 0:
                 logger.info(f"saved checkpoint at step {step}")
-            if step % args.vis_freq == 0 or step == args.num_iterations - 1:
-                pred = np.asarray(trainer.predict(batch["original_feats"][:args.num_vis_samples]))
-                images = np.asarray(batch["image"][:args.num_vis_samples])
-                std = np.asarray(vit_cfg.std)
-                mean = np.asarray(vit_cfg.mean)
-                panel = visualize_online_denoised_samples(
-                    images * std + mean,
-                    np.asarray(batch["original_feats"][:args.num_vis_samples]),
-                    np.asarray(batch["denoised_feats"][:args.num_vis_samples]),
-                    pred,
-                    num_samples=args.num_vis_samples,
-                )
-                from PIL import Image
+        if jax.process_index() == 0 and (
+                step % args.vis_freq == 0
+                or step == args.num_iterations - 1):
+            # process-LOCAL rows: eagerly slicing a multi-host global
+            # array raises on non-addressable shards
+            n = args.num_vis_samples
+            raw_l = local_rows(batch["original_feats"], n)
+            den_l = local_rows(batch["denoised_feats"], n)
+            images = local_rows(batch["image"], n)
+            pred = np.asarray(trainer.predict(raw_l))
+            std = np.asarray(vit_cfg.std)
+            mean = np.asarray(vit_cfg.mean)
+            panel = visualize_online_denoised_samples(
+                images * std + mean, raw_l, den_l, pred,
+                num_samples=n,
+            )
+            from PIL import Image
 
-                Image.fromarray(panel).save(
-                    f"{log_dir}/visualization/{step:05d}.png"
-                )
+            Image.fromarray(panel).save(
+                f"{log_dir}/visualization/{step:05d}.png"
+            )
     ckpt.wait()
     logger.info("done")
 

@@ -56,16 +56,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
-    if isinstance(args.input_size, int):
-        args.input_size = (args.input_size, args.input_size)
-    else:
-        args.input_size = tuple(args.input_size[:2]) if len(args.input_size) > 1 \
-            else (args.input_size[0], args.input_size[0])
-    if args.auto_stride:
-        args.stride_size = zoo.patch_size_of(args.model)
-    if args.stride_size in (8, 16) and args.input_size[0] == 518:
-        args.input_size = (512, 512)
-    return args
+    from dvt_tpu.utils.platform import normalize_input_geometry
+
+    return normalize_input_geometry(args, zoo)
 
 
 def load_denoiser_params(path):
@@ -92,13 +85,12 @@ def main():
 
     args = get_args()
     import jax
-    import jax.numpy as jnp
 
     from dvt_tpu.data.imagefolder import ImageFolderDataset
     from dvt_tpu.data.prefetch import DataLoader
     from dvt_tpu.data.samplers import DistributedInfiniteSampler
     from dvt_tpu.models.vit import ViTWrapper
-    from dvt_tpu.parallel.mesh import make_mesh, shard_batch
+    from dvt_tpu.parallel.mesh import local_rows, make_mesh, shard_batch
     from dvt_tpu.stage3 import Stage3Config, Stage3Trainer
     from dvt_tpu.train.checkpoint import CheckpointManager
     from dvt_tpu.train.logging import MetricLogger, setup_logging
@@ -165,9 +157,9 @@ def main():
     # per-process share; shard_batch assembles the global batch
     if global_bs % jax.process_count():
         raise SystemExit(
-            f"--batch_size {global_bs} must be divisible by the process "
-            f"count {jax.process_count()} (each process loads an equal "
-            "share of the global batch)")
+            f"global batch {global_bs} (= --batch_size summed over "
+            f"devices) must be divisible by the process count "
+            f"{jax.process_count()} - each process loads an equal share")
     loader = DataLoader(
         dataset, global_bs // jax.process_count(), sampler,
         num_workers=args.num_workers,
@@ -204,6 +196,29 @@ def main():
             ckpt.save(step, trainer.state)
             if jax.process_index() == 0:
                 logger.info(f"saved checkpoint at step {step}")
+        if jax.process_index() == 0 and (
+                step % args.vis_freq == 0 or step == num_iterations - 1):
+            # reference vis_freq panels (main_distillation.py:285-293):
+            # teacher raw / teacher denoised target / student prediction
+            from PIL import Image
+
+            from dvt_tpu.utils.visualization import (
+                visualize_online_denoised_samples,
+            )
+
+            n = min(args.num_vis_samples, global_bs)
+            imgs = local_rows(batch["image"], n)
+            raw, den, pred = (np.asarray(t)
+                              for t in trainer.vis_features(imgs))
+            std = np.asarray(wrapper.cfg.std)
+            mean = np.asarray(wrapper.cfg.mean)
+            panel = visualize_online_denoised_samples(
+                imgs * std + mean, raw, den, pred, num_samples=n)
+            os.makedirs(f"{log_dir}/visualization", exist_ok=True)
+            Image.fromarray(panel).save(
+                f"{log_dir}/visualization/{step:05d}.png")
+            logger.info(
+                f"saved visualization {log_dir}/visualization/{step:05d}.png")
     ckpt.wait()
     logger.info("done")
 

@@ -96,14 +96,20 @@ def collect_filenames(args):
         else:
             names = [args.img_path]
     else:
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
         names = sorted(
             glob.glob(os.path.join(args.img_path, "**/*"), recursive=True)
         )
-        names = [n for n in names if os.path.isfile(n)]
+        # filter to decodable images at list time: a stray README/json
+        # deep in the tree would otherwise abort a long run mid-batch
+        names = [n for n in names
+                 if os.path.isfile(n) and n.lower().endswith(exts)]
+        # key saved features by path RELATIVE to the scanned directory
+        # (basename-only keys would collide across subdirs), and make the
+        # names relative so the data_root re-join below doesn't double-
+        # prefix them
+        names = [os.path.relpath(n, args.img_path) for n in names]
         if args.data_root is None:
-            # key saved features by path relative to the scanned directory:
-            # basename-only keys would collide for same-named files in
-            # different subdirs (silent skip via already_done)
             args.data_root = args.img_path
     names = names[args.start_idx : args.start_idx + args.num_imgs]
     # multi-host job sharding: each process takes a stripe (the reference
