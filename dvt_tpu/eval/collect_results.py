@@ -41,13 +41,22 @@ def collect(work_root: str) -> Dict[str, dict]:
     ):
         task_dir = os.path.relpath(os.path.dirname(log), work_root)
         # route by what the log actually contains (dir names are
-        # user-chosen and e.g. "vitdet" in a seg dir would misroute)
-        for key in ("mAP50", "mIoU", "a1"):
-            entry = best_entry(log, key)
-            if entry is not None:
-                break
-        if entry:
-            results[task_dir] = entry
+        # user-chosen and e.g. "vitdet" in a seg dir would misroute);
+        # ONE parse pass, keyed on the first metric the log carries
+        entries = []
+        with open(log) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    try:
+                        entries.append(json.loads(ln))
+                    except json.JSONDecodeError:
+                        continue
+        key = next((k for k in ("mAP50", "mIoU", "a1")
+                    if entries and k in entries[0]), None)
+        if key:
+            results[task_dir] = max(entries, key=lambda e: e.get(
+                key, float("-inf")))
     return results
 
 

@@ -52,10 +52,17 @@ def paint_label_map(label: np.ndarray, palette: np.ndarray,
 
 
 def overlay(img: np.ndarray, painted: np.ndarray,
-            alpha: float = 0.5) -> np.ndarray:
-    """Blend a painted label map over an (H, W, 3) uint8/float image."""
+            alpha: float = 0.5, float_range: float = None) -> np.ndarray:
+    """Blend a painted label map over an (H, W, 3) uint8/float image.
+
+    Float contract mirrors data/single_image.load_image: floats are
+    assumed [0, 1] unless ``float_range=255.0`` is passed explicitly -
+    with ``float_range=None`` the scale is inferred from ``max()``, which
+    misclassifies a legitimately near-black 0-255 image."""
     base = np.asarray(img, np.float32)
-    if base.max() <= 1.0 + 1e-6:
-        base = base * 255.0
+    if np.issubdtype(np.asarray(img).dtype, np.floating):
+        if float_range is None:
+            float_range = 1.0 if base.max() <= 1.0 + 1e-6 else 255.0
+        base = base * (255.0 / float_range)
     mix = (1 - alpha) * base + alpha * painted.astype(np.float32)
     return np.clip(mix, 0, 255).astype(np.uint8)

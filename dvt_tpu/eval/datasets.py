@@ -52,26 +52,64 @@ def _nearest_resize_u8(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return np.asarray(im.resize((size[1], size[0]), Image.NEAREST))
 
 
+def _rgb_to_hsv(img01: np.ndarray):
+    """(H, W, 3) RGB in [0,1] -> (h deg/2 in [0,180), s in [0,1], v in
+    [0,1]) - the cv2 convention mmseg's hue shift is written against."""
+    r, g, b = img01[..., 0], img01[..., 1], img01[..., 2]
+    maxc = img01.max(-1)
+    minc = img01.min(-1)
+    v = maxc
+    diff = maxc - minc
+    s = np.where(maxc > 0, diff / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(diff, 1e-12)
+    h = np.where(
+        maxc == r, (g - b) / safe % 6.0,
+        np.where(maxc == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0),
+    )
+    h = np.where(diff == 0, 0.0, h) * 30.0  # 60 deg / 2
+    return h, s, v
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h6 = (h / 30.0) % 6.0
+    i = np.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], -1)
+
+
 def photometric_distortion(img: np.ndarray, rng: np.random.Generator,
                            brightness_delta: float = 32,
                            contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5),
                            hue_delta: int = 18) -> np.ndarray:
-    """mmseg PhotoMetricDistortion on a float32 0-255 RGB image."""
+    """mmseg PhotoMetricDistortion on a float32 0-255 RGB image:
+    brightness (p=.5) -> [contrast if mode] -> saturation (p=.5, HSV S
+    scale) -> hue (p=.5, +-hue_delta on the 0-180 cv2 H axis) ->
+    [contrast if not mode], each an independent coin flip
+    (mmseg/datasets/pipelines/transforms.py PhotoMetricDistortion)."""
     img = img.astype(np.float32)
     if rng.integers(2):
         img = img + rng.uniform(-brightness_delta, brightness_delta)
-    contrast_last = rng.integers(2)
-    if not contrast_last and rng.integers(2):
+    contrast_first = rng.integers(2)
+    if contrast_first and rng.integers(2):
         img = img * rng.uniform(*contrast_range)
-    # saturation/hue in HSV
-    if rng.integers(2) or rng.integers(2):
-        maxc = img.max(-1)
-        minc = img.min(-1)
-        sat_scale = rng.uniform(*saturation_range)
-        gray = img.mean(-1, keepdims=True)
-        img = gray + (img - gray) * sat_scale
-    if contrast_last and rng.integers(2):
+    do_sat = rng.integers(2)
+    do_hue = rng.integers(2)
+    if do_sat or do_hue:
+        h, s, v = _rgb_to_hsv(np.clip(img, 0, 255) / 255.0)
+        if do_sat:
+            s = np.clip(s * rng.uniform(*saturation_range), 0.0, 1.0)
+        if do_hue:
+            h = (h + rng.integers(-hue_delta, hue_delta)) % 180.0
+        img = _hsv_to_rgb(h, s, v) * 255.0
+    if not contrast_first and rng.integers(2):
         img = img * rng.uniform(*contrast_range)
     return np.clip(img, 0, 255)
 
@@ -210,6 +248,10 @@ class NYUDepthDataset:
                     continue
                 img_p = parts[0]
                 dep_p = parts[1] if len(parts) > 1 and parts[1] != "None" else None
+                if train and dep_p is None:
+                    # a depth-less line is unusable as a train target;
+                    # skip at init instead of TypeError-ing mid-epoch
+                    continue
                 self.items.append((img_p, dep_p))
 
     def __len__(self):
@@ -260,11 +302,15 @@ class NYUDepthDataset:
         x0 = self.rng.integers(max(w - cw, 0) + 1)
         img = img[y0 : y0 + ch, x0 : x0 + cw]
         depth = depth[y0 : y0 + ch, x0 : x0 + cw]
-        # ColorAug (gamma/brightness/color, transforms.py ColorAug ranges)
-        gamma = self.rng.uniform(0.9, 1.1)
-        bright = self.rng.uniform(0.75, 1.25)
-        colors = self.rng.uniform(0.9, 1.1, 3)
-        img = np.clip((img / 255.0) ** gamma * bright * colors * 255.0, 0, 255)
+        # ColorAug fires with prob=0.5 (transforms.py ColorAug + config
+        # pipeline prob; unconditional application trained on a shifted
+        # distribution)
+        if self.rng.random() < 0.5:
+            gamma = self.rng.uniform(0.9, 1.1)
+            bright = self.rng.uniform(0.75, 1.25)
+            colors = self.rng.uniform(0.9, 1.1, 3)
+            img = np.clip(
+                (img / 255.0) ** gamma * bright * colors * 255.0, 0, 255)
         img = (img - SEG_MEAN) / SEG_STD
         return {
             "image": np.ascontiguousarray(img, np.float32),
@@ -308,11 +354,22 @@ class SegFeatureDataset:
             )
         # keep only names whose feature dump exists (stage 1 may have been
         # run on a subset; the reference silently falls back to a fixed
-        # file, loading.py:55-62 - we drop instead)
+        # file, loading.py:55-62 - we drop instead) AND whose label exists
+        # under THIS annotation dir: splitless layouts (ADE) glob ONE
+        # feature_root for both train and val datasets, and label-dir
+        # membership is what separates the two splits (without it the val
+        # set silently equalled the train set and crashed at label load)
         self.names = [
             n for n in names
             if os.path.isfile(os.path.join(feat_dir, n + ".npy"))
+            and os.path.isfile(self._label_path(n))
         ]
+
+    def _label_path(self, name: str) -> str:
+        # labels are keyed by BASENAME: ADE feature dumps carry the
+        # images/<split>/ prefix while labels live in annotations/<split>/
+        return os.path.join(
+            self.ann_dir, os.path.basename(name) + self.seg_suffix)
 
     def __len__(self):
         return len(self.names)
@@ -322,7 +379,7 @@ class SegFeatureDataset:
         feat = np.load(os.path.join(self.feat_dir, name + ".npy"))
         feat = np.asarray(feat, np.float32)
         feat = feat.reshape(feat.shape[-3], feat.shape[-2], feat.shape[-1])
-        lab = _load_label(os.path.join(self.ann_dir, name + self.seg_suffix))
+        lab = _load_label(self._label_path(name))
         if lab.ndim == 3:
             lab = lab[..., 0]
         if self.reduce_zero_label:
@@ -353,15 +410,27 @@ class CustomDepthDataset:
         self.max_depth = max_depth
         self.rng = np.random.default_rng(seed)
         imgs = sorted(os.listdir(os.path.join(data_root, "rgb")))
+        depth_dir = os.path.join(data_root, "depth")
+        depths = (sorted(os.listdir(depth_dir))
+                  if os.path.isdir(depth_dir) else [])
         if train:
-            depths = sorted(os.listdir(os.path.join(data_root, "depth")))
             self.items = list(zip(imgs, depths))
         else:
-            depth_dir = os.path.join(data_root, "depth")
-            have = set(os.listdir(depth_dir)) if os.path.isdir(depth_dir) else set()
-            self.items = [
-                (im, im if im in have else None) for im in imgs
-            ]
+            # pair by stem (rgb/0001.jpg <-> depth/0001.png), falling back
+            # to positional like the reference's sorted-zip (custom.py):
+            # exact-name matching silently found no GT when extensions
+            # differed and metrics ran over zero images
+            by_stem = {os.path.splitext(d)[0]: d for d in depths}
+            if len(depths) == len(imgs):
+                self.items = [
+                    (im, by_stem.get(os.path.splitext(im)[0], d))
+                    for im, d in zip(imgs, depths)
+                ]
+            else:
+                self.items = [
+                    (im, by_stem.get(os.path.splitext(im)[0]))
+                    for im in imgs
+                ]
 
     def __len__(self):
         return len(self.items)
@@ -452,8 +521,11 @@ class VOCDetectionDataset:
                 # xmax - xmin + 1 pixels as the protocol defines
                 box = [box[0] - 1, box[1] - 1, box[2], box[3]]
                 objs.append((cls, box, difficult))
-                if not difficult:
-                    found.add(cls)
+                # difficult objects COUNT toward the class set: a class
+                # seen only as difficult must still be in _cls_index so
+                # its GT enters the AP ignore set (a detection on it is
+                # neither TP nor FP) instead of scoring as FP
+                found.add(cls)
             objs.sort(key=lambda o: o[2])
             size = tree.find("size")
             wh = (float(size.findtext("width")),

@@ -5,7 +5,6 @@ Rebuilds the mmseg/mmdepth inference conventions the reference forks:
     horizontally flipped passes, flipped back before averaging
     (segmentation/models/segmentors/encoder_decoder.py:229-261 and
     MultiScaleFlipAug, depth/datasets/pipelines/test_time_aug.py).
-  * ``whole_inference``: single-pass logits at image resolution.
   * depth variant averages predicted depth maps directly
     (depth/models/depther/encoder_decoder.py:146-259).
 """

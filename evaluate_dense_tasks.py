@@ -208,19 +208,24 @@ def run_seg(args, cfg):
                 window_batch=args.seg_window_batch,
             )
             for j, (i, item) in enumerate(zip(idxs, items)):
+                # mmseg protocol: bilinear-resize LOGITS to the label's
+                # native resolution, THEN argmax (encoder_decoder.py
+                # whole/slide both resize seg_logit to ori_shape before
+                # softmax/argmax) - nearest-resizing the argmax map
+                # quantizes boundaries and shifts mIoU
+                from dvt_tpu.utils.visualization import _bilinear_resize
+
+                def to_ori(lm, shape=item["label"].shape):
+                    return (lm if lm.shape[:2] == shape
+                            else _bilinear_resize(lm, shape))
+
                 if args.flip_tta:
-                    probs = (softmax_np(logit_maps[j])
-                             + softmax_np(logit_maps[j + len(items)])[:, ::-1])
+                    probs = (softmax_np(to_ori(logit_maps[j]))
+                             + softmax_np(to_ori(
+                                 logit_maps[j + len(items)][:, ::-1])))
                     pred = probs.argmax(-1).astype(np.int64)
                 else:
-                    pred = logit_maps[j].argmax(-1).astype(np.int64)
-                # resize pred back to the label's native resolution
-                from dvt_tpu.eval.datasets import _nearest_resize_u8
-
-                if pred.shape != item["label"].shape:
-                    pred = _nearest_resize_u8(
-                        pred.astype(np.uint8), item["label"].shape
-                    ).astype(np.int64)
+                    pred = to_ori(logit_maps[j]).argmax(-1).astype(np.int64)
                 acc.add(pred, np.asarray(item["label"], np.int64))
                 if args.save_maps:
                     from PIL import Image
@@ -265,7 +270,7 @@ def run_seg_features(args, cfg):
 
     from dvt_tpu.data.prefetch import DataLoader
     from dvt_tpu.data.samplers import InfiniteSampler
-    from dvt_tpu.eval.datasets import SegFeatureDataset, _nearest_resize_u8
+    from dvt_tpu.eval.datasets import SegFeatureDataset
     from dvt_tpu.eval.seg import ConfusionAccumulator, SegLinearProbe
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
@@ -306,10 +311,14 @@ def run_seg_features(args, cfg):
             logits = np.asarray(probe.predict_logits(
                 state, jnp.asarray(item["feature"][None])
             ))[0]
-            pred = logits.argmax(-1).astype(np.uint8)
-            if pred.shape != item["label"].shape:
-                pred = _nearest_resize_u8(pred, item["label"].shape)
-            acc.add(pred.astype(np.int64),
+            # mmseg protocol: bilinear logits -> label resolution, THEN
+            # argmax (feature-grid argmax + nearest upsample produced
+            # 14-px-quantized prediction maps)
+            if logits.shape[:2] != item["label"].shape:
+                from dvt_tpu.utils.visualization import _bilinear_resize
+
+                logits = _bilinear_resize(logits, item["label"].shape)
+            acc.add(logits.argmax(-1).astype(np.int64),
                     np.asarray(item["label"], np.int64))
         res = acc.results()
         res["iteration"] = step

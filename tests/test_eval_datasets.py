@@ -187,12 +187,11 @@ def test_voc_detection_dataset(tmp_path):
 
     ds = VOCDetectionDataset(str(root), "train", image_size=128,
                              train=False)
-    # difficult objects excluded from class discovery and train targets,
-    # but kept (flagged) for ignore-matching at AP time (VOC protocol);
-    # a class that only ever appears difficult ('ghost') is dropped
-    # entirely — it has no trainable instances and no class id to
-    # ignore-match against
-    assert ds.classes == ("cat", "dog")
+    # difficult objects excluded from train targets but counted toward
+    # the class set: a class seen only as difficult ('ghost') needs a
+    # class id so its GT enters the AP ignore set - a detection on it is
+    # neither TP nor FP (VOC protocol), not a false positive
+    assert ds.classes == ("cat", "dog", "ghost")
     item = ds[0]
     assert item["image"].shape == (128, 128, 3)
     # keep_ratio resize (mmdet Resize): one uniform scale
