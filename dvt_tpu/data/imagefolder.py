@@ -46,7 +46,12 @@ class ImageFolderDataset:
         if classes:
             for c in classes:
                 cdir = os.path.join(root, c)
-                for dirpath, _, files in os.walk(cdir):
+                # sort subdirectories too (torchvision sorts the whole
+                # walk): dentry-order walks give different sample orders
+                # on different hosts, breaking the i::num_replicas
+                # striping partition in multi-host DP
+                for dirpath, dirnames, files in os.walk(cdir):
+                    dirnames.sort()
                     for f in sorted(files):
                         if os.path.splitext(f)[1].lower() in _IMG_EXTS:
                             self.samples.append(

@@ -16,6 +16,10 @@ import numpy as np
 
 class InfiniteSampler:
     def __init__(self, num_samples: int):
+        if num_samples <= 0:
+            raise ValueError(
+                "InfiniteSampler over an empty dataset would busy-spin "
+                "forever (check the data root / list file)")
         self.num_samples = num_samples
 
     def __iter__(self) -> Iterator[int]:
@@ -39,6 +43,13 @@ class DistributedInfiniteSampler:
         self.epoch = 0
         self.reshuffle_each_pass = reshuffle_each_pass
         self.num_samples = math.ceil(num_samples / num_replicas)
+        if np.arange(self.total)[rank::num_replicas].size == 0:
+            # an empty stripe would busy-spin forever in __iter__ with the
+            # DataLoader producer pegging the CPU and no error surfacing
+            raise ValueError(
+                f"rank {rank}/{num_replicas} gets an empty stripe of a "
+                f"{num_samples}-sample dataset - fewer samples than "
+                "replicas (or an empty dataset)")
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

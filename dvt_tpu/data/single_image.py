@@ -32,6 +32,10 @@ def load_image(
         arr = path_or_array
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
+        elif arr.ndim == 3 and arr.shape[-1] == 1:
+            # single-channel (H, W, 1) must expand too: passing it through
+            # violates the (H, W, 3) contract and crashes downstream
+            arr = np.repeat(arr, 3, axis=-1)
         if np.issubdtype(arr.dtype, np.floating):
             if float_range is None:
                 float_range = 1.0 if arr.max() <= 1.0 else 255.0

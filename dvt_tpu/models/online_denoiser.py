@@ -42,8 +42,8 @@ def _block_cfg(feat_dim: int) -> ViTConfig:
     )
 
 
-def denoiser_from_params(params, feat_dim: int, dtype=jnp.float32
-                         ) -> "Denoiser":
+def denoiser_from_params(params, feat_dim: int, dtype=jnp.float32,
+                         precision=None) -> "Denoiser":
     """Build a Denoiser whose static config matches a loaded param tree.
 
     Stage-2 checkpoints carry their training grid in pos_embed (1, h*w, C)
@@ -65,7 +65,7 @@ def denoiser_from_params(params, feat_dim: int, dtype=jnp.float32
     return Denoiser(
         noise_map_height=h, noise_map_width=w, feat_dim=feat_dim,
         num_blocks=max(n_blocks, 1), enable_pe="pos_embed" in params,
-        dtype=dtype,
+        dtype=dtype, precision=precision,
     )
 
 
@@ -76,6 +76,8 @@ class Denoiser(nn.Module):
     num_blocks: int = 1
     enable_pe: bool = True
     dtype: Any = jnp.float32
+    precision: Any = None  # "highest" for fp32-faithful eval/teacher
+    # paths (CLAUDE.md: the TPU default matmul precision is very low)
 
     @nn.compact
     def __call__(self, x: Array, return_channel_first: bool = False) -> Array:
@@ -97,7 +99,8 @@ class Denoiser(nn.Module):
             x = x + pe.astype(x.dtype)
         cfg = _block_cfg(self.feat_dim)
         for i in range(self.num_blocks):
-            x = Block(cfg, dtype=self.dtype, name=f"blocks_{i}")(x)
+            x = Block(cfg, dtype=self.dtype, precision=self.precision,
+                      name=f"blocks_{i}")(x)
         x = x.reshape(b, h, w, c)
         if return_channel_first:
             x = jnp.transpose(x, (0, 3, 1, 2))

@@ -97,8 +97,10 @@ def fused_adam_update(
     n = param.size
     if n % 128 == 0 and (param.ndim == 1 or param.shape[-1] < 128):
         two_d = (-1, 128)
-    elif param.ndim == 1:
-        two_d = (1, param.shape[0])
+    elif param.ndim <= 1:
+        # 0-d scalar leaves reshape to (1, 1): the docstring promises
+        # 'any shape', and fused_adam_apply maps over every tree leaf
+        two_d = (1, max(n, 1))
     else:
         two_d = (-1, param.shape[-1])
     p2 = param.reshape(two_d).astype(jnp.float32)

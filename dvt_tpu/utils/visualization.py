@@ -24,11 +24,8 @@ from dvt_tpu.utils.kmeans import cosine_kmeans
 def _cmap(name: str, n: Optional[int] = None):
     import matplotlib
 
-    return matplotlib.colormaps.get_cmap(name) if n is None else (
-        matplotlib.pyplot.get_cmap(name, n)
-        if hasattr(matplotlib, "pyplot")
-        else matplotlib.colormaps.get_cmap(name)
-    )
+    cm = matplotlib.colormaps[name]
+    return cm if n is None else cm.resampled(n)
 
 
 def _nearest_resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
