@@ -321,7 +321,7 @@ def main_with_fallback():
     ]
     last_err = None
     wait_for_device()
-    for overrides in ladder:
+    for attempt, overrides in enumerate(ladder):
         os.environ.update(overrides)
         try:
             main()
@@ -329,6 +329,11 @@ def main_with_fallback():
         except Exception as e:  # noqa: BLE001
             last_err = e
             print(f"bench attempt failed ({overrides}): {e}", file=sys.stderr)
+            # a mid-run fault wedges the tunnel chip for many minutes:
+            # re-probe health before the next rung or every retry just
+            # faults again within seconds
+            if attempt + 1 < len(ladder):
+                wait_for_device()
     print(
         json.dumps(
             {

@@ -40,19 +40,23 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-// Decode a JPEG file to RGB u8. Returns empty on failure.
-std::vector<uint8_t> decode_jpeg(const char* path, int* h, int* w) {
+// Inner decode with the setjmp region. The output buffer is a REFERENCE
+// parameter (caller's frame), not a local: a non-volatile local modified
+// between setjmp and longjmp has indeterminate value after the jump
+// (C 7.13.2.1), so destructing a local vector on the error path would be
+// UB (libjpeg example.c documents the same trap).
+bool decode_jpeg_into(const char* path, std::vector<uint8_t>& out,
+                      int* h, int* w) {
   FILE* f = fopen(path, "rb");
-  if (!f) return {};
+  if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  std::vector<uint8_t> out;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
-    return {};
+    return false;
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
@@ -69,6 +73,13 @@ std::vector<uint8_t> decode_jpeg(const char* path, int* h, int* w) {
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
+  return true;
+}
+
+// Decode a JPEG file to RGB u8. Returns empty on failure.
+std::vector<uint8_t> decode_jpeg(const char* path, int* h, int* w) {
+  std::vector<uint8_t> out;
+  if (!decode_jpeg_into(path, out, h, w)) out.clear();
   return out;
 }
 
