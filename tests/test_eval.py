@@ -330,3 +330,33 @@ class TestColormaps:
         painted = paint_label_map(np.ones((4, 4), np.int64), pal)
         out = overlay(img, painted, alpha=0.5)
         assert out.shape == (4, 4, 3) and out.dtype == np.uint8
+
+
+def test_mmcv_warmup_scales_current_lr():
+    """mmcv get_warmup_lr multiplies the warmup factor into the CURRENT
+    annealed lr - the curves must be continuous at warmup end and the
+    warmup values must sit BELOW the annealed curve, not above it."""
+    import numpy as np
+
+    from dvt_tpu.eval.depth import cosine_annealing_schedule
+    from dvt_tpu.eval.detection import step_schedule
+    from dvt_tpu.eval.seg import poly_schedule
+
+    cos = cosine_annealing_schedule(1e-3, 38400, warmup_iters=12800,
+                                    warmup_ratio=1e-3)
+    # continuity at the boundary (the old base_lr scaling jumped ~25%)
+    a, b = float(cos(12799)), float(cos(12800))
+    assert abs(a - b) / b < 1e-3
+    # warmup never exceeds the annealed curve
+    for s in (0, 1000, 6400, 12000):
+        assert float(cos(s)) <= float(cos(12800)) * 1.0001
+
+    poly = poly_schedule(1e-3, 40000, 1.0, warmup_iters=1500)
+    a, b = float(poly(1499)), float(poly(1500))
+    assert abs(a - b) / b < 2e-3
+
+    step = step_schedule(1e-4)
+    assert np.isclose(float(step(150)), 1e-4)
+    assert np.isclose(float(step(20000)), 1e-5)
+    assert np.isclose(float(step(22000)), 1e-6)
+    assert float(step(0)) < 2e-7  # warmup_ratio 1e-3 of base

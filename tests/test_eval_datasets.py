@@ -217,3 +217,32 @@ def test_voc_detection_dataset(tmp_path):
         assert (b[:, 0] <= b[:, 2]).all()
         assert b.min() >= 0 and b.max() <= 128
         np.testing.assert_allclose(b[0, 2] - b[0, 0], 40 * 0.64, atol=1e-4)
+
+
+def test_rgb_hsv_roundtrip(rng):
+    from dvt_tpu.eval.datasets import _hsv_to_rgb, _rgb_to_hsv
+
+    img = rng.random((17, 13, 3)).astype(np.float64)
+    h, s, v = _rgb_to_hsv(img)
+    assert 0 <= h.min() and h.max() < 180.0
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(back, img, atol=1e-6)
+
+
+def test_photometric_distortion_identity_seeds(rng):
+    """All coins tails -> identity; and outputs stay in [0, 255]."""
+    from dvt_tpu.eval.datasets import photometric_distortion
+
+    img = (rng.random((9, 9, 3)) * 255).astype(np.float32)
+
+    class Zeros:
+        def integers(self, *a, **k):
+            return 0
+
+        def uniform(self, lo, hi, *a):
+            return lo
+
+    out = photometric_distortion(img, Zeros())
+    np.testing.assert_allclose(out, img, atol=1e-4)
+    out2 = photometric_distortion(img, np.random.default_rng(3))
+    assert out2.min() >= 0 and out2.max() <= 255
