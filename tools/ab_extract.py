@@ -37,17 +37,27 @@ VARIANTS = {
 
 
 def main():
-    from bench import device_calibration, wait_for_device
-
-    if not wait_for_device(900):
-        raise SystemExit("device not ready")
     import jax
+
+    if os.environ.get("DVT_PLATFORM"):  # axon ignores JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["DVT_PLATFORM"])
+    else:
+        from bench import wait_for_device
+
+        if not wait_for_device(900):
+            raise SystemExit("device not ready")
+    from bench import device_calibration
     import jax.numpy as jnp
 
     from dvt_tpu.data.single_image import load_image
     from dvt_tpu.engine import Stage1Engine
 
     sel = sys.argv[1:] or list(VARIANTS)
+    if "base" not in sel:
+        # the cosine-vs-base numerics guard needs the base features
+        sel = ["base"] + sel
+    elif sel.index("base") != 0:
+        sel = ["base"] + [v for v in sel if v != "base"]
     views = int(os.environ.get("AB_VIEWS", "768"))
     reps = int(os.environ.get("AB_REPS", "2"))
     img = load_image("/root/reference/demo/cat.jpg")

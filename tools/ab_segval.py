@@ -71,9 +71,12 @@ def main():
     def sync(x):
         np.asarray(x[0].ravel()[0] if isinstance(x, list) else x)
 
-    # warm both compiles (bs=1 for the loop path, bs=wb for batched)
-    sync(np.asarray(logits_fn(jnp.zeros((1, crop, crop, 3)))))
-    sync(np.asarray(logits_fn(jnp.zeros((wb, crop, crop, 3)))))
+    # warm both compiles at the ACTUAL window shape (slide geometry
+    # clamps windows to min(crop, size); warming the wrong shape would
+    # put a full XLA compile inside the timed region)
+    wc = min(crop, size)
+    sync(np.asarray(logits_fn(jnp.zeros((1, wc, wc, 3)))))
+    sync(np.asarray(logits_fn(jnp.zeros((wb, wc, wc, 3)))))
 
     t0 = time.time()
     preds_loop = [
@@ -114,6 +117,8 @@ def main():
     print(json.dumps(out), flush=True)
     with open("/tmp/segval_ab.json", "a") as f:
         f.write(json.dumps(out) + "\n")
+    if mismatch:
+        raise SystemExit(1)  # numerics regression must fail loudly
 
 
 if __name__ == "__main__":

@@ -22,6 +22,11 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("DVT_PLATFORM", "").lower() == "cpu":
+        raise SystemExit(
+            "flash_equiv_check needs the COMPILED Mosaic kernel - it "
+            "cannot run on the CPU backend (interpret-mode coverage "
+            "lives in tests/test_flash_attention.py)")
     from bench import wait_for_device
 
     if not wait_for_device(900):

@@ -71,7 +71,18 @@ def build_image_list(n_davis, n_synth):
     step = max(len(frames) // max(n_davis, 1), 1)
     imgs += [os.path.join(davis_dir, f) for f in frames[::step][:n_davis]]
     synth_root = "/tmp/dvt_synth_sweep/voc"
-    if not os.path.isdir(synth_root):
+
+    def _cached_count():
+        lst = os.path.join(synth_root, "voc_train.txt")
+        if not os.path.isfile(lst):
+            return 0
+        with open(lst) as f:
+            return sum(1 for ln in f if ln.strip())
+
+    if _cached_count() < n_synth:
+        # a stale smaller cache would silently shrink the advertised N
+        import shutil
+        shutil.rmtree(synth_root, ignore_errors=True)
         from tools.make_synthetic_data import make_voc
         rng = np.random.default_rng(7)
         make_voc(synth_root, n_synth, 0, 8, 518, rng)
@@ -108,18 +119,25 @@ def main():
 
     iters = int(os.environ.get("QS_ITERS", "25000"))
     chunk = int(os.environ.get("QS_CHUNK", "1000"))
+    # 0 disables the seed-floor runs entirely
     floor_every = int(os.environ.get("QS_FLOOR_EVERY", "4"))
     imgs = build_image_list(int(os.environ.get("QS_N_DAVIS", "16")),
                             int(os.environ.get("QS_N_SYNTH", "16")))
 
+    tuned_id = json.dumps(TUNED, sort_keys=True)
     done = set()
     if os.path.exists(args.out):
         with open(args.out) as f:
             for ln in f:
                 try:
-                    done.add(json.loads(ln)["img"])
+                    r = json.loads(ln)
                 except Exception:
-                    pass
+                    continue
+                # rows from a DIFFERENT tuned config must not satisfy
+                # resume (a QS_TUNED_JSON candidate against an old --out
+                # would otherwise skip every image and report stale rows)
+                if r.get("tuned_config", tuned_id) == tuned_id:
+                    done.add(r["img"])
 
     views = int(os.environ.get("QS_VIEWS", "768"))
     engine = Stage1Engine(
@@ -135,7 +153,8 @@ def main():
     def run_fit(raw_b, crd_b, variant, seed):
         cfg = dataclasses.replace(engine.cfg, **variant)
         k = cfg.table_sweep_every
-        cfg = dataclasses.replace(cfg, num_iters=iters // k * k)
+        # never floor to 0 iters (QS_ITERS smaller than K in smoke runs)
+        cfg = dataclasses.replace(cfg, num_iters=max(iters // k, 1) * k)
         chunk_k = max(chunk // k, 1) * k
         keys = jax.random.split(jax.random.PRNGKey(seed), 1)
         t0 = time.time()
@@ -153,7 +172,7 @@ def main():
         raw_b, crd_b = engine.extract_batch([img])
         np.asarray(jax.device_get(raw_b.ravel()[0]))
 
-        row = {"img": img_path, "iters": iters}
+        row = {"img": img_path, "iters": iters, "tuned_config": tuned_id}
         den_exact, row["recon_exact"], row["fit_s_exact"] = run_fit(
             raw_b, crd_b, EXACT, seed=0)
         den_tuned, row["recon_tuned"], row["fit_s_tuned"] = run_fit(
@@ -161,7 +180,7 @@ def main():
         m, p5, mn = cos_stats(den_tuned, den_exact)
         row.update(tuned_cos_mean=m, tuned_cos_p5=p5, tuned_cos_min=mn)
 
-        if idx % floor_every == 0:
+        if floor_every > 0 and idx % floor_every == 0:
             den_f, row["recon_floor"], _ = run_fit(
                 raw_b, crd_b, EXACT, seed=1)
             m, p5, mn = cos_stats(den_f, den_exact)

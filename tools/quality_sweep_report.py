@@ -24,7 +24,14 @@ def group_of(img):
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/quality_sweep.jsonl"
-    rows = [json.loads(ln) for ln in open(path) if ln.strip()]
+    rows = []
+    for ln in open(path):
+        if not ln.strip():
+            continue
+        try:  # tolerate one truncated line from a mid-append kill
+            rows.append(json.loads(ln))
+        except json.JSONDecodeError:
+            print(f"(skipping malformed line: {ln[:60]!r})", file=sys.stderr)
     rows = [r for r in rows if "tuned_cos_p5" in r]
     print(f"N = {len(rows)} images\n")
     print("| image | recon exact/tuned | tuned cos mean/p5 | "
@@ -68,9 +75,11 @@ def main():
            for r in rows if "fb_cos_p5" in r]
     if fbp:
         d = np.array([a - b for a, b in fbp])
+        verdict = ("level dropout is NOT the source of the tail"
+                   if d.mean() >= -0.002 else
+                   "level dropout IS hurting the tail - back it off")
         print(f"FALLBACK (no-dropout) vs tuned on {len(fbp)} images: "
-              f"tuned p5 - fallback p5 mean {d.mean():+.4f} "
-              f"(level dropout is NOT the source of the tail)")
+              f"tuned p5 - fallback p5 mean {d.mean():+.4f} ({verdict})")
 
 
 if __name__ == "__main__":
