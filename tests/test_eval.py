@@ -360,3 +360,39 @@ def test_mmcv_warmup_scales_current_lr():
     assert np.isclose(float(step(20000)), 1e-5)
     assert np.isclose(float(step(22000)), 1e-6)
     assert float(step(0)) < 2e-7  # warmup_ratio 1e-3 of base
+
+
+def test_seg_predict_logits_mesh_matches_single_device(rng):
+    """VERDICT r2 #3 acceptance: the mesh-sharded predict_logits path
+    (data_sharded_call over the 8-virtual-device mesh) produces the same
+    slide-inference output - and therefore identical mIoU - as the
+    unsharded path, including non-divisible window batches (padding +
+    trim)."""
+    import jax.numpy as jnp
+
+    from dvt_tpu.eval.seg import SegLinearProbe, slide_inference_batched
+    from dvt_tpu.parallel.mesh import make_mesh
+
+    def feature_fn(images):
+        x = jnp.asarray(images)
+        # 8x downsample 'backbone' with content dependence
+        f = x[:, ::8, ::8, :]
+        return jnp.concatenate([f, f[..., :1] * 2.0], -1)
+
+    kw = dict(lr=1e-2, weight_decay=0.0, total_iters=4, seed=0)
+    p_single = SegLinearProbe(feature_fn, 3, mesh=None, **kw)
+    p_mesh = SegLinearProbe(feature_fn, 3, mesh=make_mesh(), **kw)
+    ex = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s1, s2 = p_single.init_state(ex), p_mesh.init_state(ex)
+
+    images = [np.asarray(rng.random((48, 56, 3)), np.float32)
+              for _ in range(3)]  # 3 imgs x 4 windows = 12 (not / 8)
+    outs = []
+    for probe, state in ((p_single, s1), (p_mesh, s2)):
+        maps = slide_inference_batched(
+            lambda b, probe=probe, state=state:
+                probe.predict_logits(state, b),
+            images, 3, crop=(32, 32), stride=(24, 24), window_batch=8)
+        outs.append([np.asarray(m) for m in maps])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
