@@ -33,12 +33,17 @@ import numpy as np
 
 LOOPS = int(os.environ.get("PROBE_LOOPS", "50"))
 TABLE_ENTRIES = 2_461_148  # 16-level spec total ENTRIES (x8 feats = 19.7M params)
-PAD = 1 << 21  # entries padded so (N/16, 128) reshapes stay layout-free
+# entries rounded UP to the production padding quantum (hash_encoding
+# padded_entries, quantum 256): 1<<21 was SMALLER than TABLE_ENTRIES and
+# silently shrank the sweep workload ~15% vs the real 19.7M-param table
+PAD = -(-TABLE_ENTRIES // 256) * 256
 ROWS = 20_480  # ~rows touched per fit step with stochastic corners
 
 
 def sync(x):
-    np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[0])
+    # materialize ONE element: device_get of the whole leaf would drag a
+    # 67-80 MB array through the tunnel inside the timed region
+    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
 
 def timed(fn, *args):
@@ -171,14 +176,15 @@ def probe_adam():
     def run_xla(p, m, v, g):
         def body(i, carry):
             p, m, v = carry
-            return fused_adam_update_xla(p, m, v, g, lr, i + 1)
+            return fused_adam_update_xla(p, m, v, g, lr, i + 1,
+                                         wd=1e-5)
         return jax.lax.fori_loop(0, LOOPS, body, (p, m, v))
 
     @jax.jit
     def run_pallas(p, m, v, g):
         def body(i, carry):
             p, m, v = carry
-            return fused_adam_update(p, m, v, g, lr, i + 1)
+            return fused_adam_update(p, m, v, g, lr, i + 1, wd=1e-5)
         return jax.lax.fori_loop(0, LOOPS, body, (p, m, v))
 
     nbytes = p.nbytes + m.nbytes + v.nbytes + g.nbytes

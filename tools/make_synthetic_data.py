@@ -155,8 +155,9 @@ def make_voc(root, n_train, n_val, num_classes, size, rng):
         d = os.path.join(ifroot, f"class{i % 3}")
         os.makedirs(d, exist_ok=True)
         dst = os.path.join(d, n + ".jpg")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(img_dir, n + ".jpg"), dst)
+        if not os.path.exists(dst):  # absolute target: a cwd-relative
+            # one resolves against the LINK dir -> dangling
+            os.symlink(os.path.abspath(os.path.join(img_dir, n + ".jpg")), dst)
     return names
 
 
@@ -219,7 +220,7 @@ def make_nyu(root, n_train, n_val, rng):
 
 
 def main():
-    p = argparse.ArgumentParser(__doc__)
+    p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/dvt_synth")
     p.add_argument("--n_train", type=int, default=24)
     p.add_argument("--n_val", type=int, default=8)

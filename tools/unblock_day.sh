@@ -23,6 +23,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 DRY_RUN="${DRY_RUN:-0}"
+if [ "$DRY_RUN" = "1" ]; then
+  # the offline replay must run with the TPU absent/wedged - force the
+  # host backend (the axon plugin ignores JAX_PLATFORMS; every CLI
+  # honors DVT_PLATFORM)
+  export DVT_PLATFORM="${DVT_PLATFORM:-cpu}"
+fi
 WORK="${WORK:-/tmp/unblock_day}"
 MODEL="${MODEL:-vit_base_patch14_dinov2.lvd142m}"
 N_IMAGES="${N_IMAGES:-100}"
@@ -49,8 +55,12 @@ print(f"ok: {len(cases)} golden cases, all registered in the zoo")
 EOF
 else
   log "dumping golden fixtures (timm) for all families + stride override"
+  # any real photo works (fixtures save their own pixels); default to the
+  # sandbox's demo image when present, override with GOLDEN_IMAGE
+  GOLDEN_IMAGE="${GOLDEN_IMAGE:-/root/reference/demo/cat.jpg}"
+  [ -f "$GOLDEN_IMAGE" ] || { echo "set GOLDEN_IMAGE=<some .jpg>"; exit 1; }
   python tools/dump_reference_features.py \
-    --image /root/reference/demo/cat.jpg --out tests/golden
+    --image "$GOLDEN_IMAGE" --out tests/golden
 fi
 
 # ---------- stage 2: golden parity tests ----------
@@ -96,9 +106,16 @@ else
 fi
 
 log "stage-1 dumps over $N_IMAGES VOC images"
-head -n "$N_IMAGES" "$VOC_ROOT/voc_train.txt" > "$WORK/img_list.txt" \
-  || ls "$VOC_ROOT/JPEGImages" | head -n "$N_IMAGES" \
-       | sed 's#^#JPEGImages/#' > "$WORK/img_list.txt"
+if [ -f "$VOC_ROOT/voc_train.txt" ]; then
+  head -n "$N_IMAGES" "$VOC_ROOT/voc_train.txt" > "$WORK/img_list.txt"
+else
+  # capture ls fully before head: under pipefail, head closing the pipe
+  # early makes ls exit 141 (SIGPIPE) and set -e kills the script on any
+  # real-size VOC tree
+  all_imgs=$(ls "$VOC_ROOT/JPEGImages")
+  printf '%s\n' "$all_imgs" | head -n "$N_IMAGES" \
+    | sed 's#^#JPEGImages/#' > "$WORK/img_list.txt"
+fi
 python main_img_denoising.py --model "$MODEL" \
   --img_path "$WORK/img_list.txt" --data_root "$VOC_ROOT" \
   --save_root "$WORK/feats" --num_imgs "$N_IMAGES" "${S1_ARGS[@]}"
@@ -121,14 +138,24 @@ for ours in glob.glob(os.path.join(ours_root, "denoised_features", "**", "*.npy"
     c = np.sum(a*b, -1) / (np.linalg.norm(a, axis=-1)
                            * np.linalg.norm(b, axis=-1) + 1e-8)
     cos_all.append(c)
-c = np.concatenate(cos_all)
-print(f"n={len(cos_all)} maps, cosine mean {c.mean():.4f} p5 {np.percentile(c,5):.4f}")
+if not cos_all:
+    print("n=0 overlapping feature maps between ours and REF_FEATS - "
+          "check the dump tree layout (denoised_features/<model>/...)")
+else:
+    c = np.concatenate(cos_all)
+    print(f"n={len(cos_all)} maps, cosine mean {c.mean():.4f} "
+          f"p5 {np.percentile(c,5):.4f}")
 EOF
 fi
 
 log "stage-2 denoiser on the dumps"
+# feat_root must point INSIDE the stage-1 layout at
+# denoised_features/<model> (PairedListDataset joins it with the
+# image-relative path), and the data list is required
 python main_denoiser.py --model "$MODEL" --data_root "$VOC_ROOT" \
-  --feat_root "$WORK/feats" --output_root "$WORK/s2" \
+  --data_list_path "$WORK/img_list.txt" \
+  --feat_root "$WORK/feats/denoised_features/$MODEL" \
+  --output_root "$WORK/s2" \
   --run_name unblock "${S2_ARGS[@]}"
 
 log "probe mIoU: raw vs +denoiser (delta vs BASELINE.md table)"
