@@ -19,9 +19,10 @@ whole train step is one XLA program.
 
 Box convention: (x1, y1, x2, y2) in input-image pixels. Delta encoding is
 mmdet's DeltaXYWHBBoxCoder: unit stds for the RPN, [.1,.1,.2,.2] for the
-RCNN stage. Test NMS is per-class via the batched_nms class-offset trick
-on each proposal's argmax class - a documented simplification vs mmdet's
-multiclass_nms, which scores every (proposal, class) pair.
+RCNN stage. Test NMS is full mmdet multiclass_nms: every (proposal,
+class) pair above score_thr is a candidate, bounded by a shape-static
+top-1000 pre-filter, suppressed per class via the batched_nms
+class-offset trick.
 """
 
 from __future__ import annotations
@@ -525,33 +526,42 @@ class FasterRCNNProbe:
 
     def _infer(self, state, images, fp):
         """Returns per-image (boxes (D, 4), scores (D,), classes (D,),
-        valid (D,)) with D = num_proposals detections after per-class-
-        agnostic NMS."""
+        valid (D,)) with D = num_proposals detections after mmdet
+        multiclass_nms: EVERY (proposal, class) pair above score_thr is a
+        candidate (not just the argmax class), a shape-static top
+        ``nms_pre`` by score bounds the IoU matrix, and the batched_nms
+        class-offset trick makes one NMS call suppress within classes
+        only."""
         params = state["params"]
         feats = self._features(fp, images)
         anchors = self._anchors(feats.shape[1:3])
         levels, logits, deltas = self._forward_rpn(params, feats)
+        ncls = self.num_classes
+        nms_pre = min(1000, self.num_proposals * ncls)
 
         def one(i):
             props, ok = self._proposals(anchors, logits[i], deltas[i])
             rois = self._extract_rois(levels, props, batch_index=i)
             roi_logits, roi_deltas = self.box_head.apply(
                 {"params": params["box"]}, rois)
-            probs = jax.nn.softmax(roi_logits, -1)
-            cls = jnp.argmax(probs[:, 1:], -1)
-            score = jnp.max(probs[:, 1:], -1) * ok
+            probs = jax.nn.softmax(roi_logits, -1)  # (P, ncls+1)
             boxes = jnp.clip(
                 decode_deltas(props, roi_deltas, stds=RCNN_DELTA_STDS),
                 0, self.image_size)
-            # per-class NMS via the mmdet batched_nms class-offset trick:
-            # boxes shifted by class * (max coord + 1) never overlap
-            # across classes, so one shape-static NMS call suppresses
-            # within each class only (multiclass_nms semantics for the
-            # proposal's argmax class)
-            off = cls.astype(boxes.dtype)[:, None] * (self.image_size + 1.0)
-            keep, kok = nms(boxes + off, score, 0.5, self.num_proposals,
-                            score_thr=0.05)
-            return boxes[keep], score[keep] * kok, cls[keep], kok
+            # multiclass candidates: (P*ncls,) scores / classes, box
+            # shared across a proposal's classes (class-agnostic reg)
+            cand_scores = (probs[:, 1:] * ok[:, None]).reshape(-1)
+            cand_cls = jnp.tile(jnp.arange(ncls), props.shape[0])
+            cand_boxes = jnp.repeat(boxes, ncls, axis=0)
+            top_s, top_i = jax.lax.top_k(cand_scores, nms_pre)
+            cand_boxes = cand_boxes[top_i]
+            cand_cls = cand_cls[top_i]
+            off = cand_cls.astype(cand_boxes.dtype)[:, None] * (
+                self.image_size + 1.0)
+            keep, kok = nms(cand_boxes + off, top_s, 0.5,
+                            self.num_proposals, score_thr=0.05)
+            return (cand_boxes[keep], top_s[keep] * kok, cand_cls[keep],
+                    kok)
 
         idxs = jnp.arange(images.shape[0])
         return jax.vmap(one)(idxs)
