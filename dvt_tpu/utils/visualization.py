@@ -11,6 +11,7 @@ pixel resolution; matplotlib supplies colormaps only.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -192,8 +193,14 @@ def add_border(img: np.ndarray, width: int = 8, value: float = 1.0) -> np.ndarra
     return out
 
 
+# the reference renders panel labels with its bundled Inter font
+# (annotation.py:19-53, demo/assets/Inter-Regular.otf) - use it when the
+# checkout is present, else PIL's default
+_INTER_FONT = "/root/reference/demo/assets/Inter-Regular.otf"
+
+
 def add_label(img: np.ndarray, text: str, font_size: int = 24) -> np.ndarray:
-    """Render a text strip above the image with PIL's default font."""
+    """Render a text strip above the image (Inter font when available)."""
     from PIL import Image, ImageDraw
 
     h, w, _ = img.shape
@@ -203,7 +210,10 @@ def add_label(img: np.ndarray, text: str, font_size: int = 24) -> np.ndarray:
     try:
         from PIL import ImageFont
 
-        font = ImageFont.load_default(size=font_size)
+        if os.path.isfile(_INTER_FONT):
+            font = ImageFont.truetype(_INTER_FONT, size=font_size)
+        else:
+            font = ImageFont.load_default(size=font_size)
     except Exception:
         font = None
     draw.text((4, 2), text, fill=(0, 0, 0), font=font)
