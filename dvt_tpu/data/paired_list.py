@@ -27,10 +27,20 @@ class PairedListDataset:
         mean=(0.485, 0.456, 0.406),
         std=(0.229, 0.224, 0.225),
         seed: int = 0,
+        include_image: bool = True,
     ):
         self.data_root = data_root
         self.feat_root = feat_root
         self.input_size = tuple(input_size)
+        # The train step consumes ONLY the feature pair (stage2.py
+        # denoise_loss); the reference decodes + resizes the image every
+        # batch anyway because its vis panels reuse the batch tensors
+        # (main_denoiser.py:214-217 uses feats; samples carry the image).
+        # include_image=False skips JPEG decode + 518^2 bicubic per sample
+        # — the dominant host cost on few-core TPU hosts (tools/
+        # ab_overlap.py) — and returns the sample "index" instead so vis
+        # steps can fetch just their few images via image_for_index().
+        self.include_image = include_image
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         with open(data_list) as f:
@@ -49,19 +59,21 @@ class PairedListDataset:
         # occurrence of the extension substring anywhere in the path
         return os.path.join(self.feat_root, os.path.splitext(rel)[0] + ".npy")
 
-    def _resolve(self, index: int) -> Tuple[str, str, str]:
-        """-> (rel image path, raw .npy, denoised .npy) for a usable sample.
+    def _resolve(self, index: int) -> Tuple[int, str, str, str]:
+        """-> (resolved index, rel image path, raw .npy, denoised .npy).
 
         BOTH feature files must exist; otherwise resample a random index
         (reference resample-on-missing, paired_list_dataset.py:31-32) so
-        partially-finished stage-1 runs still train."""
+        partially-finished stage-1 runs still train. The RESOLVED index is
+        returned (it may differ from the requested one after resampling)
+        so include_image=False consumers can fetch the matching image."""
         for _ in range(len(self.img_paths)):
             rel = self.img_paths[index]
             denoised_pth = self._denoised_path(rel)
             raw_pth = denoised_pth.replace("denoised_features",
                                            "raw_features")
             if os.path.exists(denoised_pth) and os.path.exists(raw_pth):
-                return rel, raw_pth, denoised_pth
+                return index, rel, raw_pth, denoised_pth
             rng = np.random.default_rng(
                 (self._seed, index, next(self._draw)))
             index = int(rng.integers(len(self.img_paths)))
@@ -69,16 +81,29 @@ class PairedListDataset:
             f"no stage-1 features found under {self.feat_root}"
         )
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        rel, raw_pth, denoised_pth = self._resolve(index)
+    def _load_image(self, rel: str) -> np.ndarray:
         img = load_image(os.path.join(self.data_root, rel))
         img = resize_image(img, self.input_size).astype(np.float32) / 255.0
-        img = (img - self.mean) / self.std
-        return {
-            "image": img,
+        return (img - self.mean) / self.std
+
+    def image_for_index(self, index: int) -> np.ndarray:
+        """Decode one RESOLVED sample's image on demand (vis steps when
+        the train loader runs with include_image=False). ``index`` is the
+        value the batch's "index" field carried, i.e. already resolved —
+        no resample loop here."""
+        return self._load_image(self.img_paths[index])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        index, rel, raw_pth, denoised_pth = self._resolve(index)
+        out = {
             "original_feats": np.load(raw_pth).squeeze().astype(np.float32),
             "denoised_feats": np.load(denoised_pth).squeeze().astype(np.float32),
         }
+        if self.include_image:
+            out["image"] = self._load_image(rel)
+        else:
+            out["index"] = np.asarray(index, np.int32)
+        return out
 
     def get_batch(self, indices) -> Dict[str, np.ndarray]:
         """Whole-batch fast path through the native C++ loader: JPEG
@@ -91,21 +116,41 @@ class PairedListDataset:
         PIL's OWN two-pass uint8 fixed-point resize (up to ~26/255 on
         high-frequency content); the native resize is float-exact vs
         torch antialias=True (~1e-2 levels, tools/ab_loader.py)."""
-        from dvt_tpu.data.native import load_paired_batch_native
+        from dvt_tpu.data.native import (load_npy_batch_native,
+                                         load_paired_batch_native)
 
         resolved = [self._resolve(i) for i in indices]
         if self._feat_shape is None:
-            probe = np.load(resolved[0][1], mmap_mode="r")
+            probe = np.load(resolved[0][2], mmap_mode="r")
             self._feat_shape = tuple(np.squeeze(probe).shape)
-        out = load_paired_batch_native(
-            [os.path.join(self.data_root, rel) for rel, _, _ in resolved],
-            [r for _, r, _ in resolved],
-            [d for _, _, d in resolved],
-            self.input_size, self.mean, self.std, self._feat_shape,
-        )
-        if out is None:
-            return None  # library unavailable: caller disables fast path
-        imgs, raw, den, status = out
+        imgs = None
+        idx_arr = np.asarray([ri for ri, _, _, _ in resolved], np.int32)
+        if self.include_image:
+            out = load_paired_batch_native(
+                [os.path.join(self.data_root, rel)
+                 for _, rel, _, _ in resolved],
+                [r for _, _, r, _ in resolved],
+                [d for _, _, _, d in resolved],
+                self.input_size, self.mean, self.std, self._feat_shape,
+            )
+            if out is None:
+                return None  # library unavailable: caller disables fast path
+            imgs, raw, den, status = out
+        else:
+            # feature-only batches: one native npy read over the
+            # interleaved (raw, denoised) path list, no image decode
+            out = load_npy_batch_native(
+                [p for pair in ((r, d) for _, _, r, d in resolved)
+                 for p in pair],
+                self._feat_shape,
+            )
+            if out is None:
+                return None
+            both, status2 = out
+            raw = np.ascontiguousarray(both[0::2])
+            den = np.ascontiguousarray(both[1::2])
+            # a sample fails if EITHER of its two files failed
+            status = np.maximum(status2[0::2], status2[1::2])
         if status.all():
             # every sample failed -> format-level incompatibility (e.g. a
             # PNG dataset): report as a capability miss so the DataLoader
@@ -129,7 +174,8 @@ class PairedListDataset:
                     if (cand is not None
                             and cand["original_feats"].shape == raw.shape[1:]
                             and cand["denoised_feats"].shape == den.shape[1:]
-                            and cand["image"].shape == imgs.shape[1:]):
+                            and (imgs is None
+                                 or cand["image"].shape == imgs.shape[1:])):
                         item = cand
                         break
                     rng = np.random.default_rng(
@@ -139,8 +185,15 @@ class PairedListDataset:
                     raise RuntimeError(
                         f"no loadable stage-2 sample found under "
                         f"{self.feat_root} after resampling")
-                imgs[i] = item["image"]
+                if imgs is not None:
+                    imgs[i] = item["image"]
+                else:
+                    idx_arr[i] = item["index"]
                 raw[i] = item["original_feats"]
                 den[i] = item["denoised_feats"]
-        return {"image": imgs, "original_feats": raw,
-                "denoised_feats": den}
+        out = {"original_feats": raw, "denoised_feats": den}
+        if imgs is not None:
+            out["image"] = imgs
+        else:
+            out["index"] = idx_arr
+        return out

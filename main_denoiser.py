@@ -107,6 +107,10 @@ def main():
         start_step = int(trainer.state["step"])
         logger.info(f"resumed from step {start_step}")
 
+    # include_image=False: the train step consumes only the feature pair;
+    # images are decoded on demand at vis steps (image_for_index), which
+    # removes the per-batch JPEG decode + 518^2 bicubic from the host
+    # loader's critical path (measured in tools/ab_overlap.py)
     dataset = PairedListDataset(
         data_root=args.data_root,
         data_list=args.data_list_path,
@@ -114,6 +118,7 @@ def main():
         input_size=args.input_size,
         mean=vit_cfg.mean,
         std=vit_cfg.std,
+        include_image=False,
     )
     logger.info(f"dataset size: {len(dataset)}")
     sampler = DistributedInfiniteSampler(
@@ -174,7 +179,9 @@ def main():
             n = args.num_vis_samples
             raw_l = local_rows(batch["original_feats"], n)
             den_l = local_rows(batch["denoised_feats"], n)
-            images = local_rows(batch["image"], n)
+            idx_l = np.asarray(local_rows(batch["index"], n))
+            images = np.stack(
+                [dataset.image_for_index(int(i)) for i in idx_l])
             pred = np.asarray(trainer.predict(raw_l))
             std = np.asarray(vit_cfg.std)
             mean = np.asarray(vit_cfg.mean)

@@ -107,6 +107,62 @@ def test_paired_batch_matches_python_path(tmp_path, rng):
         assert np.abs(batch["image"][k] - item["image"]).max() < 0.03
 
 
+def test_paired_batch_feature_only(tmp_path, rng):
+    """include_image=False: native batch carries (feats, index), no image
+    decode; index maps back to the sample via image_for_index; a
+    wrong-shaped feature heals via resample and updates the index."""
+    from PIL import Image
+
+    from dvt_tpu.data.paired_list import PairedListDataset
+
+    img_root = tmp_path / "imgs"
+    feat = tmp_path / "feats" / "denoised_features" / "m"
+    raw = tmp_path / "feats" / "raw_features" / "m"
+    for d in (img_root, feat, raw):
+        d.mkdir(parents=True)
+    rels = []
+    for i in range(3):
+        rel = f"im{i}.jpg"
+        Image.fromarray(
+            (rng.random((30, 30, 3)) * 255).astype(np.uint8)
+        ).save(img_root / rel, quality=95)
+        np.save(feat / f"im{i}.npy",
+                rng.normal(size=(1, 9, 4)).astype(np.float32))
+        np.save(raw / f"im{i}.npy",
+                rng.normal(size=(1, 9, 4)).astype(np.float32))
+        rels.append(rel)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(rels))
+    ds = PairedListDataset(str(img_root), str(lst), str(feat),
+                           input_size=(16, 16), include_image=False)
+    ds_img = PairedListDataset(str(img_root), str(lst), str(feat),
+                               input_size=(16, 16))
+    batch = ds.get_batch([2, 0, 1])
+    assert batch is not None and "image" not in batch
+    np.testing.assert_array_equal(batch["index"], [2, 0, 1])
+    for k, i in [(0, 2), (1, 0), (2, 1)]:
+        item = ds_img[i]
+        np.testing.assert_array_equal(batch["original_feats"][k],
+                                      item["original_feats"])
+        np.testing.assert_array_equal(batch["denoised_feats"][k],
+                                      item["denoised_feats"])
+        # on-demand vis image == the full path's per-sample image
+        np.testing.assert_array_equal(
+            ds.image_for_index(int(batch["index"][k])), item["image"])
+    # per-item Python path agrees
+    it = ds[1]
+    assert int(it["index"]) == 1 and "image" not in it
+    # heal: wrong-shaped raw .npy -> row resampled to an intact sample
+    # and the index field follows it
+    np.save(raw / "im1.npy", np.zeros((1, 5, 4), np.float32))
+    batch = ds.get_batch([0, 1, 2])
+    assert batch is not None
+    healed_idx = int(batch["index"][1])
+    assert healed_idx in (0, 2)
+    np.testing.assert_array_equal(
+        batch["original_feats"][1], ds_img[healed_idx]["original_feats"])
+
+
 def test_batch_load_and_missing_file(tmp_path, rng):
     from PIL import Image
 
