@@ -5,8 +5,11 @@ only the backbone adapters (evaluation/vitdet/) plus a config
 (evaluation/configs/vitb_voc2012_vitdet_config.py) whose mmdet base file
 ``faster_rcnn_r50_fpn.py`` is absent, so its detection eval is not runnable
 as shipped. This module provides a runnable TPU-native equivalent of that
-config's model: frozen ViT backbone (windowed attention) -> SimpleFPN
-(num_outs=5: p6 maxpool level for the RPN) -> 2-conv RPN -> RoIAlign ->
+config's model: frozen ViT backbone (global attention by default;
+per-block windowed attention via evaluate_dense_tasks --det_window_size,
+models/vit.py window_size) -> SimpleFPN (num_outs=5: p6 maxpool level for
+the RPN; optional fixed sin-cos pos embed via add_pe, the _pe config
+variant) -> 2-conv RPN -> RoIAlign ->
 Shared4Conv1FC box head with LN2d (the config's overrides,
 vitb_voc2012_vitdet_config.py:62-81), AdamW + mmcv step LR
 ([20000, 22000] gamma 0.1, warmup 100), standard Faster-RCNN losses and a
@@ -356,12 +359,15 @@ class FasterRCNNProbe:
     roi_sample: int = 128
     num_proposals: int = 300
     warmup_iters: int = 100  # config lr_config warmup_iters
+    # _pe config variant: fixed 2-D sin-cos pos embed added to the
+    # backbone map inside SimpleFPN (vitb_voc2012_vitdet_pe_config.py:72)
+    add_pe: bool = False
     seed: int = 0
 
     def __post_init__(self):
         from dvt_tpu.eval.vitdet import SimpleFPN
 
-        self.fpn = SimpleFPN(out_channels=256)
+        self.fpn = SimpleFPN(out_channels=256, add_pe=self.add_pe)
         self.rpn = RPNHead()
         self.box_head = BoxHead(self.num_classes)
         # RPN sees 5 levels (config neck num_outs=5: p6 = stride-2

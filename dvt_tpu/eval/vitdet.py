@@ -21,26 +21,8 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def window_partition(x: Array, window: int) -> Tuple[Array, Tuple[int, int]]:
-    """(B, H, W, C) -> (B*nW, window, window, C), padding to multiples."""
-    b, h, w, c = x.shape
-    ph = (window - h % window) % window
-    pw = (window - w % window) % window
-    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    hp, wp = h + ph, w + pw
-    x = x.reshape(b, hp // window, window, wp // window, window, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
-    return x, (hp, wp)
-
-
-def window_unpartition(x: Array, window: int, padded_hw: Tuple[int, int],
-                       hw: Tuple[int, int]) -> Array:
-    hp, wp = padded_hw
-    h, w = hw
-    b = x.shape[0] // (hp // window * (wp // window))
-    x = x.reshape(b, hp // window, wp // window, window, window, -1)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
-    return x[:, :h, :w]
+# shared with the backbone's windowed-attention mode (models/vit.py)
+from dvt_tpu.ops.windows import window_partition, window_unpartition  # noqa: E402,F401
 
 
 def windowed_attention(q_fn, x: Array, window: int) -> Array:
@@ -96,10 +78,27 @@ class SimpleFPN(nn.Module):
     NHWC; returns coarsest-last list."""
 
     out_channels: int = 256
+    # The _pe config variant (vitb_voc2012_vitdet_pe_config.py:72-73:
+    # add_pe=True, num_patches=1369): add a FIXED 2-D sin-cos position
+    # embedding - built once at the pe_grid x pe_grid training grid, then
+    # bicubic-resampled to the runtime map (simple_fpn.py:121-129, 181-186
+    # with timm resample_abs_pos_embed) - to the backbone map before
+    # building the pyramid.
+    add_pe: bool = False
+    pe_grid: int = 37
 
     @nn.compact
     def __call__(self, x: Array) -> Sequence[Array]:
         c = x.shape[-1]
+        if self.add_pe:
+            from dvt_tpu.ops.resample import resample_abs_pos_embed
+
+            h, w = x.shape[1:3]
+            pe = sincos_pos_embed_2d(c, self.pe_grid, self.pe_grid)[None]
+            pe = resample_abs_pos_embed(
+                pe, (h, w), (self.pe_grid, self.pe_grid),
+                num_prefix_tokens=0)
+            x = x + pe.reshape(1, h, w, c).astype(x.dtype)
 
         def lateral(y, name):
             y = nn.Conv(self.out_channels, (1, 1), use_bias=False,

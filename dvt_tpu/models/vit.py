@@ -213,6 +213,12 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attention_impl: str = "einsum"
+    # ViTDet adapter mode (evaluation/vitdet/vision_transformer.py:98-117):
+    # attention runs over non-overlapping window x window tiles of the
+    # spatial grid (grid_hw); MLP and residuals stay global. 0 = global
+    # attention. Requires a prefix-free sequence (num_prefix == 0).
+    window_size: int = 0
+    grid_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -220,11 +226,29 @@ class Block(nn.Module):
         ln = lambda name: nn.LayerNorm(
             epsilon=cfg.norm_eps, dtype=self.dtype, name=name
         )
-        y = ln("norm1")(x)
-        y = Attention(
+        attn = Attention(
             cfg, dtype=self.dtype, precision=self.precision,
             attention_impl=self.attention_impl, name="attn",
-        )(y, rope=rope, num_prefix=num_prefix)
+        )
+        y = ln("norm1")(x)
+        if self.window_size > 0:
+            assert num_prefix == 0 and rope is None, (
+                "windowed attention runs on a prefix-free, rope-free "
+                "spatial sequence (the reference adapter drops the class "
+                "token: eval_utils/misc.py:116 output_prefix_tokens=False)")
+            from dvt_tpu.ops.windows import (window_partition,
+                                             window_unpartition)
+
+            b, n, c = y.shape
+            gh, gw = self.grid_hw
+            ws = self.window_size
+            wins, padded = window_partition(y.reshape(b, gh, gw, c), ws)
+            a = attn(wins.reshape(wins.shape[0], ws * ws, c))
+            a = a.reshape(-1, ws, ws, c)
+            y = window_unpartition(a, ws, padded, (gh, gw))
+            y = y.reshape(b, n, c)
+        else:
+            y = attn(y, rope=rope, num_prefix=num_prefix)
         if cfg.init_values is not None:
             y = LayerScale(cfg.embed_dim, cfg.init_values, name="ls1")(y)
         x = x + y
@@ -271,6 +295,13 @@ class VisionTransformer(nn.Module):
     precision: Any = None
     remat: bool = False
     attention_impl: str = "einsum"  # "flash" for long sequences (differentiable)
+    # ViTDet detection adapter: window every block's attention over
+    # window_size x window_size tiles and run the whole net PREFIX-FREE
+    # (class/register tokens are dropped after embedding, matching the
+    # reference adapter which never concatenates them in windowed mode -
+    # evaluation/vitdet/vision_transformer.py:119-138 + eval_utils/
+    # misc.py:116). 0 = standard global attention.
+    window_size: int = 0
 
     def feat_grid(self, h: int, w: int) -> Tuple[int, int]:
         s = self.stride or self.cfg.patch_size
@@ -363,6 +394,15 @@ class VisionTransformer(nn.Module):
         if cfg.eva_arch and cfg.use_rope:
             rope = _rope_angles((gh, gw), cfg.head_dim, cfg.rope_ref_feat_shape)
 
+        if self.window_size > 0:
+            # windowed (ViTDet adapter) mode is prefix-free: the class/
+            # register tokens are dropped AFTER their pos-embed rows were
+            # handled above, mirroring the reference adapter's spatial-only
+            # forward (vision_transformer.py:119-138)
+            assert rope is None, "windowed attention: rope unsupported"
+            x = x[:, num_prefix:]
+            num_prefix = 0
+
         # --- transformer blocks with taps ---
         block_cls = Block
         if self.remat:
@@ -371,7 +411,9 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = block_cls(
                 cfg, dtype=self.dtype, precision=self.precision,
-                attention_impl=self.attention_impl, name=f"blocks_{i}",
+                attention_impl=self.attention_impl,
+                window_size=self.window_size, grid_hw=(gh, gw),
+                name=f"blocks_{i}",
             )(x, rope, num_prefix)
             if i in indices:
                 taps[i] = x
@@ -421,6 +463,7 @@ class ViTWrapper:
         precision: Any = None,
         remat: bool = False,
         attention_impl: str = "einsum",
+        window_size: int = 0,
         seed: int = 0,
     ):
         self.model_identifier = model_identifier
@@ -430,6 +473,7 @@ class ViTWrapper:
         self.module = VisionTransformer(
             self.cfg, stride=stride, dtype=dtype, precision=precision,
             remat=remat, attention_impl=attention_impl,
+            window_size=window_size,
         )
         if checkpoint_path is not None:
             from dvt_tpu.models.convert import load_torch_vit_checkpoint

@@ -93,10 +93,21 @@ def get_args():
                         "jitted step (useful on watchdog-limited chips)")
     p.add_argument("--det_roi_sample", type=int, default=128,
                    help="voc_det: RoIs sampled for the box head per step")
+    p.add_argument("--det_window_size", type=int, default=0,
+                   help="voc_det: window every backbone block's attention "
+                        "over NxN tiles (ViTDet adapter, evaluation/vitdet/"
+                        "vision_transformer.py:98-117); 0 = global "
+                        "attention; window >= feature grid is exactly "
+                        "global")
+    p.add_argument("--det_add_pe", action="store_true",
+                   help="voc_det: add the fixed 2-D sin-cos pos embed to "
+                        "the backbone map inside SimpleFPN (the _pe config "
+                        "variant, vitb_voc2012_vitdet_pe_config.py:72-73)")
     return p.parse_args()
 
 
-def build_feature_fn(args, return_cls_token: bool = False, out_indices=None):
+def build_feature_fn(args, return_cls_token: bool = False, out_indices=None,
+                     window_size: int = 0):
     import jax.numpy as jnp
 
     from dvt_tpu.eval.glue import make_feature_fn
@@ -105,7 +116,7 @@ def build_feature_fn(args, return_cls_token: bool = False, out_indices=None):
     stride = args.stride_size or zoo.patch_size_of(args.model)
     wrapper = ViTWrapper(
         args.model, stride=stride, checkpoint_path=args.vit_ckpt,
-        dtype=jnp.bfloat16, seed=args.seed,
+        dtype=jnp.bfloat16, seed=args.seed, window_size=window_size,
     )
     denoiser = denoiser_params = None
     if args.denoiser_ckpt:
@@ -477,7 +488,8 @@ def run_det(args, cfg):
     from dvt_tpu.train.logging import MetricLogger, setup_logging
 
     logger = setup_logging(args.work_dir)
-    feature_fn, fparams, wrapper = build_feature_fn(args)
+    feature_fn, fparams, wrapper = build_feature_fn(
+        args, window_size=args.det_window_size)
     train_ds = VOCDetectionDataset(args.data_root, "train", train=True,
                                    seed=args.seed)
     val_ds = VOCDetectionDataset(args.data_root, "val", train=False,
@@ -492,7 +504,7 @@ def run_det(args, cfg):
         input_stride=args.stride_size or wrapper.patch_size,
         lr=cfg["lr"], weight_decay=cfg["wd"], total_iters=total,
         num_proposals=args.det_proposals, roi_sample=args.det_roi_sample,
-        seed=args.seed,
+        add_pe=args.det_add_pe, seed=args.seed,
     )
     loader = DataLoader(
         train_ds, args.batch_size, InfiniteSampler(len(train_ds)),

@@ -216,6 +216,49 @@ class TestViTDet:
             (1, 32, 32, 32), (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32)
         ]
 
+    def test_sincos_matches_reference_mae_layout(self):
+        """Our sincos table == the reference's get_2d_sincos_pos_embed
+        (simple_fpn.py:26-73): per-axis [sin, cos] with the x axis first
+        (meshgrid(w, h) puts grid[0]=x), omega = 1/10000^(i/(D/4))."""
+        d, g = 32, 5
+
+        def ref_1d(dim, pos):  # get_1d_sincos_pos_embed_from_grid
+            omega = 1.0 / 10000 ** (np.arange(dim // 2) / (dim / 2.0))
+            out = np.einsum("m,d->md", pos.reshape(-1), omega)
+            return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+        grid = np.stack(np.meshgrid(np.arange(g, dtype=np.float32),
+                                    np.arange(g, dtype=np.float32)))
+        ref = np.concatenate(
+            [ref_1d(d // 2, grid[0]), ref_1d(d // 2, grid[1])], axis=1)
+        ours = np.asarray(sincos_pos_embed_2d(d, g, g))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_simple_fpn_add_pe(self, rng):
+        """add_pe (the _pe config variant, vitb_voc2012_vitdet_pe_config
+        .py:72-73): at the native pe_grid the added embedding is exactly
+        the sincos table; the pyramid output therefore equals running the
+        plain FPN on x + pe."""
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 32)).astype(np.float32))
+        fpn_pe = SimpleFPN(out_channels=16, add_pe=True, pe_grid=6)
+        params = fpn_pe.init(jax.random.PRNGKey(0), x)["params"]
+        outs_pe = fpn_pe.apply({"params": params}, x)
+        pe = sincos_pos_embed_2d(32, 6, 6).reshape(1, 6, 6, 32)
+        fpn = SimpleFPN(out_channels=16)
+        outs_manual = fpn.apply({"params": params}, x + pe)
+        for a, b in zip(outs_pe, outs_manual):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5)
+        # resampled path (runtime grid != pe_grid) stays finite and
+        # actually shifts the map
+        x2 = jnp.asarray(
+            rng.standard_normal((1, 9, 7, 32)).astype(np.float32))
+        outs2 = SimpleFPN(out_channels=16, add_pe=True, pe_grid=6).apply(
+            {"params": params}, x2)
+        base2 = fpn.apply({"params": params}, x2)
+        assert np.isfinite(np.asarray(outs2[0])).all()
+        assert np.abs(np.asarray(outs2[0]) - np.asarray(base2[0])).max() > 1e-3
+
 
 class TestGlue:
     def test_center_pad(self):
@@ -325,7 +368,16 @@ class TestColormaps:
 
         pal = ade20k_palette()
         assert pal.shape == (150, 3)
-        assert len({tuple(c) for c in pal}) == 150  # all distinct
+        # the OFFICIAL table has one duplicate color: (140, 140, 140) is
+        # both class 7 and class 43 (reference colormaps.py rows 8 / 44)
+        assert len({tuple(c) for c in pal}) == 149
+        # official ADE20K constants (reference colormaps.py:6-160):
+        # first rows and last row of the class table
+        assert tuple(pal[0]) == (120, 120, 120)    # wall
+        assert tuple(pal[1]) == (180, 120, 120)    # building
+        assert tuple(pal[2]) == (6, 230, 230)      # sky
+        assert tuple(pal[3]) == (80, 50, 50)       # floor
+        assert tuple(pal[149]) == (92, 0, 255)     # flag (last class)
         img = np.zeros((4, 4, 3), np.uint8) + 200
         painted = paint_label_map(np.ones((4, 4), np.int64), pal)
         out = overlay(img, painted, alpha=0.5)

@@ -129,8 +129,14 @@ def torch_apply_rope(t, sin, cos, n_prefix):
     return torch.cat([prefix, sp], dim=2)
 
 
-def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
-    """Oracle forward replicating timm VisionTransformer semantics."""
+def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices,
+                      window_size=0):
+    """Oracle forward replicating timm VisionTransformer semantics.
+
+    ``window_size`` > 0 replicates the reference's ViTDet adapter
+    (evaluation/vitdet/vision_transformer.py:98-138): prefix tokens are
+    dropped after the pos embed, and every block's attention runs over
+    padded non-overlapping window x window tiles of the spatial grid."""
     x = F.conv2d(
         x_nchw,
         sd["patch_embed.proj.weight"],
@@ -181,14 +187,29 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
         rope = torch_rope_tables(gh, gw, c // cfg.num_heads,
                                  cfg.rope_ref_feat_shape)
 
+    if window_size:
+        assert rope is None
+        x = x[:, n_prefix:]
+        n_prefix = 0
+        ws = window_size
+        pad_h = (ws - gh % ws) % ws
+        pad_w = (ws - gw % ws) % ws
+        hp, wp = gh + pad_h, gw + pad_w
+
     taps = {}
     for i in range(cfg.depth):
         bk = f"blocks.{i}"
         y = ln(x, f"{bk}.norm1.weight", f"{bk}.norm1.bias")
         nh = cfg.num_heads
 
+        if window_size:
+            # window partition (vision_transformer.py:24-44)
+            y4 = F.pad(y.view(b, gh, gw, c), (0, 0, 0, pad_w, 0, pad_h))
+            y = (y4.view(b, hp // ws, ws, wp // ws, ws, c)
+                 .permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c))
+
         def heads(t):
-            return t.view(b, -1, nh, c // nh).transpose(1, 2)
+            return t.view(t.shape[0], -1, nh, c // nh).transpose(1, 2)
 
         if cfg.eva_arch:
             q = F.linear(y, sd[f"{bk}.attn.q_proj.weight"],
@@ -207,10 +228,15 @@ def torch_vit_forward(sd, cfg: ViTConfig, x_nchw, stride, tap_indices):
             k = torch_apply_rope(k, sin, cos, n_prefix)
 
         att = F.scaled_dot_product_attention(q, k, v)
-        att = att.transpose(1, 2).reshape(b, -1, c)
+        att = att.transpose(1, 2).reshape(att.shape[0], -1, c)
         if cfg.eva_arch and cfg.attn_inner_norm:
             att = ln(att, f"{bk}.attn.norm.weight", f"{bk}.attn.norm.bias")
         att = F.linear(att, sd[f"{bk}.attn.proj.weight"], sd[f"{bk}.attn.proj.bias"])
+        if window_size:
+            # window unpartition (vision_transformer.py:47-66)
+            att = (att.view(-1, hp // ws, wp // ws, ws, ws, c)
+                   .permute(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+                   [:, :gh, :gw].reshape(b, gh * gw, c))
         if cfg.init_values is not None:
             att = att * sd[f"{bk}.ls1.gamma"]
         x = x + att
@@ -282,6 +308,52 @@ def test_forward_matches_torch_oracle(cfg_kw, stride):
     for o, r in zip(ours, ref):
         assert o.shape == r.shape
         np.testing.assert_allclose(np.asarray(o), r, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "cfg_kw,window",
+    [
+        (dict(), 2),                      # even split: 6x5 grid pads to 6x6
+        (dict(), 4),                      # padding on both axes
+        (dict(init_values=1e-1), 3),      # LayerScale + padding
+        (dict(reg_tokens=4, no_embed_class=True), 2),  # prefix dropped
+    ],
+)
+def test_windowed_forward_matches_torch_oracle(cfg_kw, window):
+    """window_size mode == the reference ViTDet adapter
+    (evaluation/vitdet/vision_transformer.py:98-138): prefix-free blocks
+    with attention over padded window tiles."""
+    cfg = tiny_cfg(**cfg_kw)
+    sd = make_torch_state_dict(cfg)
+    params = convert_vit_state_dict(sd, cfg)
+
+    x = torch.randn(2, 3, 48, 40, generator=torch.Generator().manual_seed(2))
+    taps = [0, cfg.depth - 1]
+    ref = torch_vit_forward(sd, cfg, x, 8, taps, window_size=window)
+
+    model = VisionTransformer(cfg, stride=8, precision="highest",
+                              window_size=window)
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    ours = model.apply({"params": params}, x_jax, indices=taps, norm=True)
+    for o, r in zip(ours, ref):
+        assert o.shape == r.shape
+        np.testing.assert_allclose(np.asarray(o), r, atol=2e-4, rtol=1e-3)
+
+
+def test_window_covering_grid_equals_global():
+    """A window >= the feature grid is exactly global attention (for a
+    prefix-free model, since windowed mode drops prefix tokens)."""
+    cfg = tiny_cfg(class_token=False, no_embed_class=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 32, 32, 3)).astype(np.float32))
+    base = VisionTransformer(cfg, stride=8, precision="highest")
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    out_g = base.apply({"params": params}, x)[0]
+    win = VisionTransformer(cfg, stride=8, precision="highest",
+                            window_size=4)  # grid is 4x4
+    out_w = win.apply({"params": params}, x)[0]
+    np.testing.assert_allclose(
+        np.asarray(out_w), np.asarray(out_g), atol=1e-5)
 
 
 def test_wrapper_api():
