@@ -32,6 +32,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
+CALIB_TFLOPS = None  # set in main() from the same-session calibration
+
+
 def sync(x):
     import jax
 
@@ -69,12 +72,17 @@ def bench_stage2(fast: bool):
         sync(m["loss"])
         dt = (time.time() - t0) / steps
         tokens = bs * gh * gw
+        # fwd+bwd ~ 3x fwd FLOPs of the num_blocks-layer transformer
+        from bench import utilization, vit_fwd_flops
+
+        flops = 3 * vit_fwd_flops(cfg.num_blocks, dim, gh * gw) * bs
         row = {
             "metric": "stage2_train_step",
             "config": {"batch": bs, "grid": f"{gh}x{gw}", "dim": dim},
             "ms_per_step": round(dt * 1e3, 2),
             "tokens_per_s": round(tokens / dt),
             "samples_per_s": round(bs / dt, 2),
+            "mxu_utilization": utilization(flops, dt, CALIB_TFLOPS),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -90,34 +98,51 @@ def bench_stage3(fast: bool):
     from dvt_tpu.parallel.mesh import make_mesh
     from dvt_tpu.stage3 import Stage3Config, Stage3Trainer
 
-    mesh = make_mesh()
-    steps = int(os.environ.get("ST23_STEPS", "2" if fast else "8"))
-    model = "vit_base_patch14_dinov2.lvd142m"
-    size, stride = (140, 14) if fast else (518, 14)
-    wrapper = ViTWrapper(model, stride=stride, seed=0)
-    gh = (size - wrapper.patch_size) // stride + 1
-    tokens_per_img = gh * gh
+    from bench import utilization, vit_fwd_flops
 
-    # denoiser params at the right grid via a tiny Stage2 init
+    mesh = make_mesh()
+    base_steps = int(os.environ.get("ST23_STEPS", "2" if fast else "8"))
+    model = "vit_base_patch14_dinov2.lvd142m"
+    size = 140 if fast else 518
+    wrapper = ViTWrapper(model, stride=14, seed=0)
+
     from dvt_tpu.models.online_denoiser import Denoiser
 
-    den_mod = Denoiser(noise_map_height=gh, noise_map_width=gh,
-                       feat_dim=wrapper.n_output_dims, num_blocks=1,
-                       dtype=jnp.bfloat16)
-    den_params = den_mod.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, gh, gh, wrapper.n_output_dims), jnp.bfloat16),
-    )["params"]
+    den_cache = {}
 
-    grids = ([("bs1", 1, False, "einsum")] if fast else [
-        ("bs2_einsum", 2, False, "einsum"),
-        ("bs2_einsum_remat", 2, True, "einsum"),
-        ("bs2_flash", 2, False, "flash"),
-        ("bs4_einsum_remat", 4, True, "einsum"),
+    def den_params_for(gh):
+        if gh not in den_cache:
+            den_mod = Denoiser(
+                noise_map_height=gh, noise_map_width=gh,
+                feat_dim=wrapper.n_output_dims, num_blocks=1,
+                dtype=jnp.bfloat16)
+            den_cache[gh] = den_mod.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, gh, gh, wrapper.n_output_dims), jnp.bfloat16),
+            )["params"]
+        return den_cache[gh]
+
+    # (name, batch, stride, remat, attention, steps). The stride-7/4 arms
+    # are the small-stride distillation regime (5329 / 16129 tokens per
+    # image) where flash attention should beat einsum SDPA — the
+    # extraction-phase A/B (PLAN.md #4) showed flash's win starts >=7k
+    # tokens; this measures the training-step crossover (VERDICT r3 #9).
+    grids = ([("bs1", 1, 14, False, "einsum", base_steps)] if fast else [
+        ("bs2_einsum", 2, 14, False, "einsum", base_steps),
+        ("bs2_einsum_remat", 2, 14, True, "einsum", base_steps),
+        ("bs2_flash", 2, 14, False, "flash", base_steps),
+        ("bs4_einsum_remat", 4, 14, True, "einsum", base_steps),
+        ("s7_bs1_einsum_remat", 1, 7, True, "einsum", 3),
+        ("s7_bs1_flash_remat", 1, 7, True, "flash", 3),
+        ("s4_bs1_einsum_remat", 1, 4, True, "einsum", 2),
+        ("s4_bs1_flash_remat", 1, 4, True, "flash", 2),
     ])
     results = []
     rng = np.random.default_rng(0)
-    for name, bs, remat, attn in grids:
+    vc = wrapper.cfg
+    for name, bs, stride, remat, attn, steps in grids:
+        gh = (size - wrapper.patch_size) // stride + 1
+        tokens_per_img = gh * gh
         cfg = Stage3Config(
             model=model, stride=stride, input_size=size,
             global_batch_size=bs, grad_checkpointing=remat,
@@ -128,7 +153,7 @@ def bench_stage3(fast: bool):
                 cfg, mesh,
                 student_params=wrapper.params,
                 teacher_vit_params=wrapper.params,
-                denoiser_params=den_params,
+                denoiser_params=den_params_for(gh),
             )
             imgs = jnp.asarray(
                 rng.standard_normal((bs, size, size, 3)), jnp.float32)
@@ -139,14 +164,20 @@ def bench_stage3(fast: bool):
                 m = trainer.train_step(imgs)
             sync(m["loss"])
             dt = (time.time() - t0) / steps
+            # teacher fwd (1x) + student fwd+bwd (~3x) analytic ViT FLOPs
+            fwd = vit_fwd_flops(
+                vc.depth, vc.embed_dim,
+                tokens_per_img + vc.num_prefix_tokens, vc.mlp_ratio)
             row = {
                 "metric": "stage3_train_step",
-                "config": {"name": name, "batch": bs, "remat": remat,
-                           "attention": attn, "input": size,
+                "config": {"name": name, "batch": bs, "stride": stride,
+                           "remat": remat, "attention": attn, "input": size,
                            "tokens_per_image": tokens_per_img},
                 "ms_per_step": round(dt * 1e3, 1),
                 "tokens_per_s": round(bs * tokens_per_img / dt),
                 "images_per_s": round(bs / dt, 3),
+                "mxu_utilization": utilization(
+                    4 * fwd * bs, dt, CALIB_TFLOPS),
             }
             del trainer
         except Exception as e:  # noqa: BLE001 - keep later configs running
@@ -169,6 +200,8 @@ def main():
     import jax.numpy as jnp
 
     gbps, tflops = device_calibration(jax, jnp)
+    global CALIB_TFLOPS
+    CALIB_TFLOPS = tflops
     fast = os.environ.get("ST23_FAST") == "1"
     out = {"device": str(jax.devices()[0]),
            "device_hbm_gbps_measured": gbps,
