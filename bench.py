@@ -84,24 +84,28 @@ def device_calibration(jax, jnp):
     big = jax.random.normal(k, (20_000_000,), jnp.float32)
 
     @jax.jit
-    def sweep20(x):
-        return jax.lax.fori_loop(0, 20, lambda i, x: x * 1.000001 + 0.5, x)
+    def sweep50(x):
+        return jax.lax.fori_loop(0, 50, lambda i, x: x * 1.000001 + 0.5, x)
 
-    np.asarray(sweep20(big)[0])
+    np.asarray(sweep50(big)[0])
     t0 = time.time()
-    np.asarray(sweep20(big)[0])
-    gbps = 20 * 160e6 / (time.time() - t0) / 1e9  # read+write 80MB each
+    np.asarray(sweep50(big)[0])
+    gbps = 50 * 160e6 / (time.time() - t0) / 1e9  # read+write 80MB each
 
-    a = jax.random.normal(k, (2048, 2048), jnp.bfloat16)
+    # 4096^3 x 40: ~5.5 TFLOP of work so the measurement saturates the MXU
+    # instead of timing dispatch tails (the old 2048^3 x 20 = 0.34 TFLOP
+    # under-read the chip >5x: bench extraction measured 63.8 achieved
+    # TFLOPs in a session the small probe called 12.3 - r4 session logs)
+    a = jax.random.normal(k, (4096, 4096), jnp.bfloat16)
 
     @jax.jit
-    def mm20(x):
-        return jax.lax.fori_loop(0, 20, lambda i, x: (x @ x) * 0.01, x)
+    def mm40(x):
+        return jax.lax.fori_loop(0, 40, lambda i, x: (x @ x) * 0.01, x)
 
-    np.asarray(mm20(a)[0, 0])
+    np.asarray(mm40(a)[0, 0])
     t0 = time.time()
-    np.asarray(mm20(a)[0, 0])
-    tflops = 20 * 2 * 2048**3 / (time.time() - t0) / 1e12
+    np.asarray(mm40(a)[0, 0])
+    tflops = 40 * 2 * 4096**3 / (time.time() - t0) / 1e12
     return round(gbps, 1), round(tflops, 2)
 
 

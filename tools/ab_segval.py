@@ -86,38 +86,70 @@ def main():
     ]
     t_loop = time.time() - t0
 
-    t0 = time.time()
-    maps = slide_inference_batched(logits_fn, images, num_classes,
-                                   crop=(crop, crop),
-                                   stride=(stride, stride),
-                                   window_batch=wb)
-    preds_batched = [m.argmax(-1) for m in maps]
-    t_batched = time.time() - t0
+    # also keep the per-window LOGIT maps so the batched comparison can be
+    # tolerance-based (see below)
+    maps_loop = [
+        slide_inference(logits_fn, im, num_classes,
+                        crop=(crop, crop), stride=(stride, stride))
+        for im in images
+    ]
 
-    mismatch = sum(
-        int((a != b).sum()) for a, b in zip(preds_loop, preds_batched)
-    )
     grids = max(int(np.ceil((size - crop) / stride)) + 1, 1)
     n_windows = grids * grids * n_imgs  # 700^2 at 512/341 -> 2x2
-    out = {
-        "metric": "segval_ab",
-        "model": model,
-        "images": n_imgs,
-        "windows": n_windows,
-        "window_batch": wb,
-        "per_window_s": round(t_loop, 2),
-        "batched_s": round(t_batched, 2),
-        "speedup": round(t_loop / t_batched, 2),
-        "dispatches_loop": n_windows,
-        "dispatches_batched": int(np.ceil(n_windows / wb)),
-        "pred_pixel_mismatch": mismatch,
-        "device_hbm_gbps_measured": gbps,
-        "device_bf16_tflops_measured": tflops,
-    }
-    print(json.dumps(out), flush=True)
-    with open("/tmp/segval_ab.json", "a") as f:
-        f.write(json.dumps(out) + "\n")
-    if mismatch:
+    wbs = ([2, 4, wb, 2 * wb] if os.environ.get("SV_SWEEP") == "1"
+           else [wb])
+    fail = False
+    for wbi in wbs:
+        sync(np.asarray(logits_fn(jnp.zeros((wbi, wc, wc, 3)))))  # warm
+        t0 = time.time()
+        maps = slide_inference_batched(logits_fn, images, num_classes,
+                                       crop=(crop, crop),
+                                       stride=(stride, stride),
+                                       window_batch=wbi)
+        preds_batched = [m.argmax(-1) for m in maps]
+        t_batched = time.time() - t0
+
+        mismatch = sum(
+            int((a != b).sum()) for a, b in zip(preds_loop, preds_batched)
+        )
+        total_px = sum(a.size for a in preds_loop)
+        # TPU batch-N vs batch-1 matmuls legitimately differ in tiling /
+        # accumulation order, so bitwise argmax equality is the CPU
+        # test's job (tests/test_eval.py, fp32, exact). On device the
+        # contract is: logit perturbation small vs the logit scale, and
+        # argmax flips confined to near-ties (a sub-percent fraction on
+        # random-weight logits, which are ties almost everywhere).
+        logit_scale = float(np.mean([np.abs(m).max() for m in maps_loop]))
+        logit_diff = float(max(
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+            for a, b in zip(maps_loop, maps)
+        ))
+        rel = logit_diff / max(logit_scale, 1e-9)
+        flip_frac = mismatch / max(total_px, 1)
+        ok = rel < 3e-2 and flip_frac < 5e-3
+        fail |= not ok
+        out = {
+            "metric": "segval_ab",
+            "model": model,
+            "images": n_imgs,
+            "windows": n_windows,
+            "window_batch": wbi,
+            "per_window_s": round(t_loop, 2),
+            "batched_s": round(t_batched, 2),
+            "speedup": round(t_loop / t_batched, 2),
+            "dispatches_loop": n_windows,
+            "dispatches_batched": int(np.ceil(n_windows / wbi)),
+            "pred_pixel_mismatch": mismatch,
+            "argmax_flip_frac": round(flip_frac, 5),
+            "max_logit_rel_diff": round(rel, 5),
+            "pass": ok,
+            "device_hbm_gbps_measured": gbps,
+            "device_bf16_tflops_measured": tflops,
+        }
+        print(json.dumps(out), flush=True)
+        with open("/tmp/segval_ab.json", "a") as f:
+            f.write(json.dumps(out) + "\n")
+    if fail:
         raise SystemExit(1)  # numerics regression must fail loudly
 
 
