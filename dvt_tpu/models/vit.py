@@ -44,18 +44,33 @@ def _act(name: str):
     raise ValueError(f"unknown activation {name}")
 
 
-def sdpa(q: Array, k: Array, v: Array, precision=None) -> Array:
+def sdpa(q: Array, k: Array, v: Array, precision=None,
+         token_shard=None) -> Array:
     """Scaled dot-product attention over (B, N, heads, head_dim).
 
     Plain einsum formulation: XLA fuses this well on TPU, softmax runs in
     fp32 for bf16 inputs, and ``precision`` controls MXU passes (None = fast
     bf16 inputs; "highest" = fp32-faithful for checkpoint-parity paths).
+
+    ``token_shard``: optional (mesh, axis) pair — sequence parallelism.
+    The QUERY-token dim of the score tensor is sharded over ``axis`` (k/v
+    stay whole per device via an XLA all-gather), so per-device score
+    memory is B*H*(N/m)*N instead of B*H*N^2. The softmax reduction is
+    along the unsharded key dim, so the partitioned program is exactly
+    the unpartitioned math (no collective inside the softmax).
     """
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
+    if token_shard is not None:
+        from dvt_tpu.parallel.sharding import token_constraint
+
+        scores = token_constraint(scores, *token_shard, dim=2)
     scores = (scores * scale).astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision)
+    if token_shard is not None:
+        out = token_constraint(out, *token_shard, dim=1)
+    return out
 
 
 class LayerScale(nn.Module):
@@ -166,6 +181,13 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attention_impl: str = "einsum"  # "einsum" | "flash" (Pallas, fwd+bwd)
+    # Sequence parallelism (parallel/sharding.py token_constraint): shard
+    # the token dim of activations + the query dim of the score tensor
+    # over this mesh axis. einsum impl only — the Pallas flash kernel is
+    # opaque to GSPMD (its memory win is intra-chip; this one is
+    # cross-chip, for the stride<7 grids where even flash OOMs training).
+    seq_mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -192,11 +214,19 @@ class Attention(nn.Module):
             q = _apply_rope(q, sin, cos, num_prefix)
             k = _apply_rope(k, sin, cos, num_prefix)
         if self.attention_impl == "flash":
+            if self.seq_axis is not None:
+                raise ValueError(
+                    "sequence parallelism requires attention_impl='einsum' "
+                    "(the Pallas kernel is opaque to GSPMD partitioning)")
             from dvt_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)
         else:
-            out = sdpa(q, k, v, precision=self.precision)
+            token_shard = (
+                (self.seq_mesh, self.seq_axis)
+                if self.seq_axis is not None else None)
+            out = sdpa(q, k, v, precision=self.precision,
+                       token_shard=token_shard)
         out = out.reshape(b, n, c)
         if cfg.attn_inner_norm:
             # EVA-CLIP (timm scale_attn_inner): LayerNorm over the merged
@@ -219,6 +249,8 @@ class Block(nn.Module):
     # attention. Requires a prefix-free sequence (num_prefix == 0).
     window_size: int = 0
     grid_hw: Optional[Tuple[int, int]] = None
+    seq_mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, rope=None, num_prefix: int = 0):
@@ -229,6 +261,7 @@ class Block(nn.Module):
         attn = Attention(
             cfg, dtype=self.dtype, precision=self.precision,
             attention_impl=self.attention_impl, name="attn",
+            seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
         )
         y = ln("norm1")(x)
         if self.window_size > 0:
@@ -302,6 +335,15 @@ class VisionTransformer(nn.Module):
     # evaluation/vitdet/vision_transformer.py:119-138 + eval_utils/
     # misc.py:116). 0 = standard global attention.
     window_size: int = 0
+    # Sequence parallelism: shard the token dim of the residual stream
+    # (and the query dim of every attention score tensor) over
+    # ``seq_axis`` of ``seq_mesh``. All per-token ops (LN/MLP/projections)
+    # then run partition-local; XLA inserts one k/v all-gather per
+    # attention. This is the cross-chip activation-memory lever for
+    # small-stride training (16k tokens at stride 4), complementary to
+    # tensor parallelism (which shards params/heads instead).
+    seq_mesh: Any = None
+    seq_axis: Optional[str] = None
 
     def feat_grid(self, h: int, w: int) -> Tuple[int, int]:
         s = self.stride or self.cfg.patch_size
@@ -403,6 +445,19 @@ class VisionTransformer(nn.Module):
             x = x[:, num_prefix:]
             num_prefix = 0
 
+        if self.seq_axis is not None:
+            if self.window_size > 0:
+                raise ValueError(
+                    "sequence parallelism and windowed attention are "
+                    "mutually exclusive (windows re-tile the token dim)")
+            if self.attention_impl == "flash":
+                raise ValueError(
+                    "sequence parallelism requires attention_impl='einsum' "
+                    "(the Pallas kernel is opaque to GSPMD partitioning)")
+            from dvt_tpu.parallel.sharding import token_constraint
+
+            x = token_constraint(x, self.seq_mesh, self.seq_axis, dim=1)
+
         # --- transformer blocks with taps ---
         block_cls = Block
         if self.remat:
@@ -413,6 +468,7 @@ class VisionTransformer(nn.Module):
                 cfg, dtype=self.dtype, precision=self.precision,
                 attention_impl=self.attention_impl,
                 window_size=self.window_size, grid_hw=(gh, gw),
+                seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                 name=f"blocks_{i}",
             )(x, rope, num_prefix)
             if i in indices:

@@ -45,6 +45,25 @@ def vit_param_spec(path, leaf) -> P:
     return P()
 
 
+def token_constraint(x, mesh, axis: str, dim: int):
+    """Constrain ``dim`` of ``x`` to be sharded over ``axis``; every other
+    dim is left UNCONSTRAINED so GSPMD composes this with whatever batch
+    ("data") sharding is already in effect.
+
+    This is the building block of sequence parallelism: annotating the
+    token dimension makes XLA partition every per-token op (LN, MLP,
+    projections) and insert the k/v all-gathers at attention — the
+    activation-memory lever for small-stride distillation, where the
+    attention score tensor is B*H*N^2 and N reaches 16k at stride 4
+    (bench_stage23 r4: stride-4 training OOMs a single chip either way).
+    """
+    if mesh is None or axis is None:
+        return x
+    spec = [P.UNCONSTRAINED] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def shard_params(mesh: Mesh, params: Any, tensor_parallel: bool = False) -> Any:
     """Place a param pytree on the mesh (replicated, or TP over 'model')."""
 

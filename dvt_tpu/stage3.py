@@ -49,6 +49,14 @@ class Stage3Config:
     global_batch_size: int = 256
     grad_checkpointing: bool = False
     tensor_parallel: bool = False
+    # Sequence parallelism: shard activation TOKENS over the mesh 'model'
+    # axis (models/vit.py seq_axis) so the per-device attention score
+    # memory drops from B*H*N^2 to B*H*(N/m)*N. The lever for stride<7
+    # distillation — at stride 4 (16k tokens) a ViT-B score tensor is
+    # ~6 GB/layer bf16 and a single chip OOMs with einsum AND flash
+    # (RESULTS.md §8b); sharded over model=8 it is <1 GB/layer. Mutually
+    # exclusive with tensor_parallel (both consume the 'model' axis).
+    sequence_parallel: bool = False
     grad_clip: Any = None
     grad_accum_steps: int = 1  # optax.MultiSteps over mini-batches
     compute_dtype: Any = jnp.bfloat16
@@ -103,12 +111,18 @@ class Stage3Trainer:
         self.cfg = cfg
         self.mesh = mesh
         vit_cfg = cfg.vit_cfg
+        if cfg.sequence_parallel and cfg.tensor_parallel:
+            raise ValueError(
+                "sequence_parallel and tensor_parallel both shard over the "
+                "'model' mesh axis — pick one per run")
         self.vit = VisionTransformer(
             vit_cfg,
             stride=cfg.stride,
             dtype=cfg.compute_dtype,
             remat=cfg.grad_checkpointing,
             attention_impl=cfg.attention_impl,
+            seq_mesh=mesh if cfg.sequence_parallel else None,
+            seq_axis="model" if cfg.sequence_parallel else None,
         )
         # Teacher static config DERIVED FROM THE CHECKPOINT (depth from
         # blocks_N entries, grid from pos_embed - which the module

@@ -35,6 +35,11 @@ def get_args():
                         "(fwd + custom VJP) in teacher AND student - the "
                         "memory lever for small strides")
     p.add_argument("--tensor_parallel", action="store_true")
+    p.add_argument("--sequence_parallel", type=int, default=0, metavar="M",
+                   help="shard activation tokens over a model-axis of M "
+                   "devices (sequence parallelism) — the memory lever for "
+                   "stride<7 distillation where the N^2 score tensor OOMs "
+                   "a single chip; mutually exclusive w/ --tensor_parallel")
     p.add_argument("--data_root", type=str, default="data/imagenet")
     p.add_argument("--input_size", type=int, default=518, nargs="+")
     p.add_argument("--stride_size", type=int, default=14)
@@ -100,7 +105,9 @@ def main():
     logger = setup_logging(log_dir)
     logger.info(" ".join(sys.argv))
 
-    mesh = make_mesh(model=2 if args.tensor_parallel else 1)
+    model_axis = (args.sequence_parallel or
+                  (2 if args.tensor_parallel else 1))
+    mesh = make_mesh(model=model_axis)
     n_data = mesh.shape["data"]
     global_bs = args.batch_size * n_data
 
@@ -127,6 +134,7 @@ def main():
         global_batch_size=global_bs,
         grad_checkpointing=args.grad_checkpointing,
         tensor_parallel=args.tensor_parallel,
+        sequence_parallel=bool(args.sequence_parallel),
         grad_clip=args.clip_grad,
         attention_impl=args.attention_impl,
     )
