@@ -52,12 +52,19 @@ def find_demo_image():
 
 
 def vit_fwd_flops(depth: int, dim: int, tokens: int, mlp_ratio: float = 4.0,
-                  swiglu: bool = False) -> float:
+                  swiglu: bool = False, glu_hidden: int = None) -> float:
     """Analytic forward FLOPs of one ViT image (transformer blocks only;
     patch embed / head are <2% and omitted). Per token per layer:
-    qkv 3d^2 + proj d^2 + mlp 2*r*d^2 MACs, attention 2*T*d MACs."""
-    r = mlp_ratio * (1.5 if swiglu else 1.0)
-    macs_tok_layer = (4 + 2 * r) * dim * dim + 2 * tokens * dim
+    qkv 3d^2 + proj d^2 + mlp MACs, attention 2*T*d MACs. SwiGLU MLPs use
+    the explicit gate width when the config pins one (EVA02 glu_hidden
+    4096 != 1.5*mlp_ratio*dim): MACs = 3*glu_hidden*dim (w1+w2 gate in,
+    w3 out)."""
+    if swiglu and glu_hidden:
+        mlp_macs = 3 * glu_hidden * dim
+    else:
+        r = mlp_ratio * (1.5 if swiglu else 1.0)
+        mlp_macs = 2 * r * dim * dim
+    macs_tok_layer = 4 * dim * dim + mlp_macs + 2 * tokens * dim
     return 2.0 * macs_tok_layer * tokens * depth
 
 
@@ -202,7 +209,8 @@ def main():
     tokens_per_view = gh * gw + vc.num_prefix_tokens
     flops_per_view = vit_fwd_flops(
         vc.depth, vc.embed_dim, tokens_per_view, vc.mlp_ratio,
-        swiglu=vc.act == "swiglu_packed")
+        swiglu=vc.act == "swiglu_packed" or vc.eva_arch,
+        glu_hidden=vc.glu_hidden)
 
     def sync(x):
         # jax.block_until_ready is a NO-OP on the tunneled axon backend;

@@ -442,6 +442,11 @@ class VisionTransformer(nn.Module):
             # handled above, mirroring the reference adapter's spatial-only
             # forward (vision_transformer.py:119-138)
             assert rope is None, "windowed attention: rope unsupported"
+            if return_prefix_tokens:
+                raise ValueError(
+                    "windowed attention drops the class/register prefix; "
+                    "return_prefix_tokens/return_cls_token is unavailable "
+                    "with window_size > 0")
             x = x[:, num_prefix:]
             num_prefix = 0
 

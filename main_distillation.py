@@ -105,6 +105,12 @@ def main():
     logger = setup_logging(log_dir)
     logger.info(" ".join(sys.argv))
 
+    if args.sequence_parallel == 1:
+        # M=1 would build a model=1 mesh where token sharding is a silent
+        # no-op that still LOOKS enabled in logs/config (ADVICE r4)
+        raise SystemExit(
+            "--sequence_parallel requires M>=2 devices on the model axis "
+            "(M=1 is a no-op); omit the flag for single-device runs")
     model_axis = (args.sequence_parallel or
                   (2 if args.tensor_parallel else 1))
     mesh = make_mesh(model=model_axis)

@@ -79,20 +79,18 @@ def main():
     sync(np.asarray(logits_fn(jnp.zeros((wb, wc, wc, 3)))))
 
     t0 = time.time()
-    preds_loop = [
-        slide_inference(logits_fn, im, num_classes,
-                        crop=(crop, crop), stride=(stride, stride)).argmax(-1)
-        for im in images
-    ]
-    t_loop = time.time() - t0
-
-    # also keep the per-window LOGIT maps so the batched comparison can be
-    # tolerance-based (see below)
     maps_loop = [
         slide_inference(logits_fn, im, num_classes,
                         crop=(crop, crop), stride=(stride, stride))
         for im in images
     ]
+    sync(np.asarray(maps_loop[-1]))  # in-order queue: last done => all done
+    t_loop = time.time() - t0
+
+    # derive argmax preds from the SAME timed pass's logit maps (running
+    # slide_inference twice doubled device work on the throttled tunnel -
+    # ADVICE r4); the maps also make the batched comparison tolerance-based
+    preds_loop = [m.argmax(-1) for m in maps_loop]
 
     grids = max(int(np.ceil((size - crop) / stride)) + 1, 1)
     n_windows = grids * grids * n_imgs  # 700^2 at 512/341 -> 2x2
@@ -106,8 +104,10 @@ def main():
                                        crop=(crop, crop),
                                        stride=(stride, stride),
                                        window_batch=wbi)
-        preds_batched = [m.argmax(-1) for m in maps]
+        sync(np.asarray(maps[-1]))
         t_batched = time.time() - t0
+        # argmax outside the timed region, mirroring the loop arm
+        preds_batched = [m.argmax(-1) for m in maps]
 
         mismatch = sum(
             int((a != b).sum()) for a, b in zip(preds_loop, preds_batched)
