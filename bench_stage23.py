@@ -132,11 +132,20 @@ def bench_stage3(fast: bool):
         ("bs2_einsum_remat", 2, 14, True, "einsum", base_steps),
         ("bs2_flash", 2, 14, False, "flash", base_steps),
         ("bs4_einsum_remat", 4, 14, True, "einsum", base_steps),
+        # recipe-scale per-device batches (the reference trains 32/GPU,
+        # main_denoiser.py:176 / sample_scripts/stage3.sh; VERDICT r4 #1)
+        ("bs8_einsum_remat", 8, 14, True, "einsum", base_steps),
+        ("bs16_einsum_remat", 16, 14, True, "einsum", max(base_steps // 2, 2)),
+        ("bs32_einsum_remat", 32, 14, True, "einsum", max(base_steps // 2, 2)),
         ("s7_bs1_einsum_remat", 1, 7, True, "einsum", 3),
         ("s7_bs1_flash_remat", 1, 7, True, "flash", 3),
         ("s4_bs1_einsum_remat", 1, 4, True, "einsum", 2),
         ("s4_bs1_flash_remat", 1, 4, True, "flash", 2),
     ])
+    only = os.environ.get("ST23_GRID")  # comma-separated config names
+    if only:
+        names = set(only.split(","))
+        grids = [g for g in grids if g[0] in names]
     results = []
     rng = np.random.default_rng(0)
     vc = wrapper.cfg
@@ -188,6 +197,138 @@ def bench_stage3(fast: bool):
     return results
 
 
+def bench_stage3_decomp(fast: bool):
+    """Decompose the stage-3 step: where do the seconds go?
+
+    Times, as separate jitted programs on identical inputs: teacher fwd
+    (ViT+denoiser), student fwd, student value_and_grad (no optimizer),
+    optimizer-only (tx.update+apply on fixed grads), and the full step —
+    plus the full step with buffer donation forced on (DVT_DONATE=1
+    equivalent) to price the axon no-donation copy. VERDICT r4 Weak #1:
+    stage-3 measured 0.39 TFLOPs while extraction on the same chip
+    achieved 63.8 — this pinpoints which piece eats the gap."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvt_tpu.models.vit import ViTWrapper
+    from dvt_tpu.models.online_denoiser import Denoiser
+    from dvt_tpu.parallel.mesh import make_mesh
+    from dvt_tpu.stage3 import Stage3Config, Stage3Trainer
+
+    from bench import utilization, vit_fwd_flops
+
+    mesh = make_mesh()
+    steps = int(os.environ.get("ST23_STEPS", "2" if fast else "8"))
+    model = "vit_base_patch14_dinov2.lvd142m"
+    size = 140 if fast else 518
+    bs = 1 if fast else int(os.environ.get("ST23_DECOMP_BS", "2"))
+    wrapper = ViTWrapper(model, stride=14, seed=0)
+    gh = (size - wrapper.patch_size) // 14 + 1
+    den_mod = Denoiser(noise_map_height=gh, noise_map_width=gh,
+                       feat_dim=wrapper.n_output_dims, num_blocks=1,
+                       dtype=jnp.bfloat16)
+    den_params = den_mod.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, gh, gh, wrapper.n_output_dims), jnp.bfloat16),
+    )["params"]
+    cfg = Stage3Config(model=model, stride=14, input_size=size,
+                       global_batch_size=bs)
+    trainer = Stage3Trainer(cfg, mesh, student_params=wrapper.params,
+                            teacher_vit_params=wrapper.params,
+                            denoiser_params=den_params)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, size, size, 3)), jnp.float32),
+        trainer._data_sharding)
+    vc = wrapper.cfg
+    fwd = vit_fwd_flops(vc.depth, vc.embed_dim,
+                        gh * gh + vc.num_prefix_tokens, vc.mlp_ratio)
+
+    def timed(name, fn, *args, flops=None, n=steps):
+        try:
+            out = fn(*args)  # compile
+            sync(out)
+            t0 = time.time()
+            for _ in range(n):
+                out = fn(*args)
+            sync(out)
+            dt = (time.time() - t0) / n
+            row = {"metric": "stage3_decomp", "piece": name, "batch": bs,
+                   "ms": round(dt * 1e3, 1)}
+            if flops:
+                row["mxu_utilization"] = utilization(flops, dt, CALIB_TFLOPS)
+        except Exception as e:  # noqa: BLE001
+            row = {"metric": "stage3_decomp", "piece": name,
+                   "error": str(e)[:200]}
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = []
+    imgs_c = imgs.astype(cfg.compute_dtype)
+    t_fwd = jax.jit(trainer._teacher_feats)
+    rows.append(timed("teacher_fwd", t_fwd, trainer.teacher, imgs_c,
+                      flops=fwd * bs))
+    s_fwd = jax.jit(trainer._student_feats)
+    rows.append(timed("student_fwd", s_fwd, trainer.state["params"], imgs_c,
+                      flops=fwd * bs))
+    target = t_fwd(trainer.teacher, imgs_c)
+
+    def _grad_only(params, images, tgt):
+        from dvt_tpu.stage2 import denoise_loss
+
+        def loss_fn(p):
+            return denoise_loss(trainer._student_feats(p, images), tgt)
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    g_fn = jax.jit(_grad_only)
+    rows.append(timed("student_grad", g_fn, trainer.state["params"],
+                      imgs_c, target, flops=3 * fwd * bs))
+    (_, _), grads = g_fn(trainer.state["params"], imgs_c, target)
+
+    import optax
+
+    def _opt_only(state, grads):
+        updates, opt_state = trainer.tx.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state,
+                "step": state["step"] + 1}
+
+    rows.append(timed("optimizer_only", jax.jit(_opt_only),
+                      jax.tree.map(jnp.copy, trainer.state),
+                      jax.tree.map(jnp.copy, grads)))
+
+    def full_step_arm(name, step_fn):
+        # thread the state through each call: jit may donate argument 0
+        # (safe_donate_argnums enables it off-axon), so re-passing the
+        # same state object would hand deleted buffers to Execute()
+        try:
+            st = jax.tree.map(jnp.copy, trainer.state)
+            st, m = step_fn(st, trainer.teacher, imgs)
+            sync(m["loss"])
+            t0 = time.time()
+            for _ in range(steps):
+                st, m = step_fn(st, trainer.teacher, imgs)
+            sync(m["loss"])
+            dt = (time.time() - t0) / steps
+            row = {"metric": "stage3_decomp", "piece": name, "batch": bs,
+                   "ms": round(dt * 1e3, 1),
+                   "mxu_utilization": utilization(4 * fwd * bs, dt,
+                                                  CALIB_TFLOPS)}
+        except Exception as e:  # noqa: BLE001
+            row = {"metric": "stage3_decomp", "piece": name,
+                   "error": str(e)[:200]}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    full_step_arm("full_step_default", trainer._step)
+    full_step_arm("full_step_donate",
+                  jax.jit(trainer._train_step, donate_argnums=(0,)))
+    full_step_arm("full_step_nodonate", jax.jit(trainer._train_step))
+    return rows
+
+
 def main():
     import jax
 
@@ -206,10 +347,13 @@ def main():
     out = {"device": str(jax.devices()[0]),
            "device_hbm_gbps_measured": gbps,
            "device_bf16_tflops_measured": tflops}
-    if os.environ.get("ST23_S3_ONLY") != "1":
-        out["stage2"] = bench_stage2(fast)
-    if os.environ.get("ST23_S2_ONLY") != "1":
-        out["stage3"] = bench_stage3(fast)
+    if os.environ.get("ST23_DECOMP") == "1":
+        out["stage3_decomp"] = bench_stage3_decomp(fast)
+    else:
+        if os.environ.get("ST23_S3_ONLY") != "1":
+            out["stage2"] = bench_stage2(fast)
+        if os.environ.get("ST23_S2_ONLY") != "1":
+            out["stage3"] = bench_stage3(fast)
     print(json.dumps(out), file=sys.stderr)
 
 

@@ -78,6 +78,17 @@ def get_args():
                    help="nyu probe head: linear BNHead (reference recipe), "
                         "DPT (TPU-fast bilinear reassembles), or the "
                         "torch-checkpoint-compatible DPT variant")
+    p.add_argument("--depth_inference", type=str, default="whole",
+                   choices=("whole", "slide"),
+                   help="nyu val inference mode: whole image (the shipped "
+                        "NYU recipe) or slide windows averaged on a stride "
+                        "grid (DepthEncoderDecoder.slide, reference "
+                        "evaluation/depth/models/depther/"
+                        "encoder_decoder.py:146-259)")
+    p.add_argument("--depth_crop", type=int, nargs=2, default=(480, 480),
+                   help="slide mode window size (h w)")
+    p.add_argument("--depth_stride", type=int, nargs=2, default=(320, 320),
+                   help="slide mode window stride (h w)")
     p.add_argument("--seg_window_batch", type=int, default=8,
                    help="slide-inference windows stacked per jitted call "
                         "(batched + mesh-sharded val inference)")
@@ -87,6 +98,20 @@ def get_args():
                         "(MultiScaleFlipAug flip=True; the shipped "
                         "reference configs use flip=False)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt_interval", type=int, default=2000,
+                   help="save the probe state (params/opt_state/step) every "
+                        "N iters to <work_dir>/checkpoints (orbax, rolling "
+                        "keep-3) so long runs survive chip faults; 0 "
+                        "disables saving")
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="checkpoint directory to resume the probe from "
+                        "(restores the latest step; the mmcv --resume-from "
+                        "counterpart, reference evaluate_dense_tasks.py:40)")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest checkpoint under "
+                        "<work_dir>/checkpoints when one exists (the mmcv "
+                        "--auto-resume counterpart, reference "
+                        "evaluate_dense_tasks.py:100-128)")
     p.add_argument("--det_proposals", type=int, default=300,
                    help="voc_det: RPN proposals kept after NMS; the NMS "
                         "loop is sequential, so smaller values shrink the "
@@ -104,6 +129,77 @@ def get_args():
                         "the backbone map inside SimpleFPN (the _pe config "
                         "variant, vitb_voc2012_vitdet_pe_config.py:72-73)")
     return p.parse_args()
+
+
+class ProbeCheckpointer:
+    """Probe-training resume: the mmcv ``--resume-from``/``--auto-resume``
+    counterpart (reference evaluate_dense_tasks.py:40,100-128 via
+    ``IterBasedRunner.resume``). Saves the full probe state (head params,
+    optimizer state, step) every ``ckpt_interval`` iters with the orbax
+    manager; on resume restores the latest step and truncates
+    ``eval_metrics.json`` entries PAST the restored step so the metrics
+    stream stays consistent with the trajectory actually trained (evals
+    between the restored checkpoint and the crash get re-run).
+
+    Data-order caveat (same as mmcv's IterBasedRunner): the infinite
+    sampler restarts from its seed on resume, so the post-resume batch
+    sequence differs from the uninterrupted run; params/opt_state/LR/step
+    resume exactly.
+    """
+
+    def __init__(self, args, total: int, metrics_path: str, logger):
+        from dvt_tpu.train.checkpoint import CheckpointManager
+
+        self.total = total
+        self.interval = int(args.ckpt_interval or 0)
+        self.logger = logger
+        self.start = 0
+        self._mgr = None
+        ckpt_dir = args.resume_from or os.path.join(
+            args.work_dir, "checkpoints")
+        want_resume = bool(args.resume_from) or args.auto_resume
+        if self.interval > 0 or want_resume:
+            self._mgr = CheckpointManager(
+                ckpt_dir, max_to_keep=3,
+                save_interval=max(self.interval, 1))
+        if want_resume:
+            latest = self._mgr.latest_step()
+            if latest is not None:
+                self.start = int(latest)
+                logger.info(f"resuming probe from step {latest} ({ckpt_dir})")
+                self._truncate_metrics(metrics_path, latest)
+            elif args.resume_from:
+                raise FileNotFoundError(
+                    f"--resume_from {ckpt_dir}: no checkpoints found")
+            else:
+                logger.info(f"--auto_resume: no checkpoint in {ckpt_dir}, "
+                            "starting fresh")
+
+    @staticmethod
+    def _truncate_metrics(path: str, step: int) -> None:
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        kept = [ln for ln in lines
+                if json.loads(ln).get("iteration", 0) <= step]
+        if len(kept) != len(lines):
+            with open(path, "w") as f:
+                f.writelines(kept)
+
+    def restore(self, template):
+        """Restore the latest state over a freshly-initialized template
+        (orbax needs the tree structure + shardings to restore into)."""
+        return self._mgr.restore(self.start, template=template)
+
+    def maybe_save(self, step: int, state) -> None:
+        if self.interval > 0 and self._mgr.should_save(step, self.total):
+            self._mgr.save(step + 1, state)
+
+    def close(self) -> None:
+        if self._mgr is not None:
+            self._mgr.wait()
+            self._mgr.close()
 
 
 def build_feature_fn(args, return_cls_token: bool = False, out_indices=None,
@@ -257,11 +353,16 @@ def run_seg(args, cfg):
         logger.info(f"[eval @ {step}] {res}")
         return res
 
-    for step, batch in enumerate(
-        ml.log_every(loader, 50, header="SegProbe", n_iterations=total)
+    ckpt = ProbeCheckpointer(args, total, metrics_path, logger)
+    for i, batch in enumerate(
+        ml.log_every(loader, 50, header="SegProbe",
+                     n_iterations=total - ckpt.start)
     ):
+        step = ckpt.start + i
         if state is None:
             state = probe.init_state(jnp.asarray(batch["image"]))
+            if ckpt.start:
+                state = ckpt.restore(state)
         if step >= total:
             break
         state, m = probe.train_step(
@@ -270,6 +371,11 @@ def run_seg(args, cfg):
         ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
         if (step + 1) % args.eval_interval == 0 or step == total - 1:
             evaluate(state, step + 1)
+        # save AFTER the eval boundary: a completed step-(s+1) checkpoint
+        # implies every eval <= s+1 finished appending, so resume-side
+        # truncation keeps eval_metrics.json consistent
+        ckpt.maybe_save(step, state)
+    ckpt.close()
 
 
 def run_seg_features(args, cfg):
@@ -337,11 +443,16 @@ def run_seg_features(args, cfg):
             f.write(json.dumps(res) + "\n")
         logger.info(f"[eval @ {step}] {res}")
 
-    for step, batch in enumerate(
-        ml.log_every(loader, 50, header="SegFeatProbe", n_iterations=total)
+    ckpt = ProbeCheckpointer(args, total, metrics_path, logger)
+    for i, batch in enumerate(
+        ml.log_every(loader, 50, header="SegFeatProbe",
+                     n_iterations=total - ckpt.start)
     ):
+        step = ckpt.start + i
         if state is None:
             state = probe.init_state(jnp.asarray(batch["feature"]))
+            if ckpt.start:
+                state = ckpt.restore(state)
         if step >= total:
             break
         state, m = probe.train_step(
@@ -350,6 +461,8 @@ def run_seg_features(args, cfg):
         ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
         if (step + 1) % args.eval_interval == 0 or step == total - 1:
             evaluate(state, step + 1)
+        ckpt.maybe_save(step, state)
+    ckpt.close()
 
 
 def run_depth(args, cfg):
@@ -417,15 +530,34 @@ def run_depth(args, cfg):
             if not pending:
                 return
             imgs = np.stack([p[0] for p in pending])
-            # probe.predict pads the batch to a data-axis multiple (and
-            # trims) internally, so any batch size is safe here
-            preds = np.asarray(probe.predict(state, jnp.asarray(imgs)))
-            if args.flip_tta:
-                # depth TTA averages predicted maps directly
-                # (depth/models/depther/encoder_decoder.py:146-259)
-                pf = np.asarray(probe.predict(
-                    state, jnp.asarray(imgs[:, :, ::-1])))
-                preds = (preds + pf[:, :, ::-1]) / 2.0
+            if args.depth_inference == "slide":
+                # slide windows averaged on the stride grid
+                # (DepthEncoderDecoder.slide, encoder_decoder.py:146-259);
+                # per-image host loop like the seg slide
+                from dvt_tpu.eval.depth import depth_slide_inference
+
+                pfn = lambda b: probe.predict(state, b)
+                preds = np.stack([
+                    depth_slide_inference(pfn, im, crop=tuple(args.depth_crop),
+                                          stride=tuple(args.depth_stride))
+                    for im in imgs])
+                if args.flip_tta:
+                    pf = np.stack([
+                        depth_slide_inference(
+                            pfn, im[:, ::-1], crop=tuple(args.depth_crop),
+                            stride=tuple(args.depth_stride))
+                        for im in imgs])
+                    preds = (preds + pf[:, :, ::-1]) / 2.0
+            else:
+                # probe.predict pads the batch to a data-axis multiple (and
+                # trims) internally, so any batch size is safe here
+                preds = np.asarray(probe.predict(state, jnp.asarray(imgs)))
+                if args.flip_tta:
+                    # depth TTA averages predicted maps directly
+                    # (depth/models/depther/encoder_decoder.py:146-259)
+                    pf = np.asarray(probe.predict(
+                        state, jnp.asarray(imgs[:, :, ::-1])))
+                    preds = (preds + pf[:, :, ::-1]) / 2.0
             for (img, gt), pred in zip(pending, preds):
                 shape = gt.shape
                 if shape not in mask_cache:
@@ -459,11 +591,16 @@ def run_depth(args, cfg):
             f.write(json.dumps(res) + "\n")
         logger.info(f"[eval @ {step}] {res}")
 
-    for step, batch in enumerate(
-        ml.log_every(loader, 50, header="DepthProbe", n_iterations=total)
+    ckpt = ProbeCheckpointer(args, total, metrics_path, logger)
+    for i, batch in enumerate(
+        ml.log_every(loader, 50, header="DepthProbe",
+                     n_iterations=total - ckpt.start)
     ):
+        step = ckpt.start + i
         if state is None:
             state = probe.init_state(jnp.asarray(batch["image"]))
+            if ckpt.start:
+                state = ckpt.restore(state)
         if step >= total:
             break
         state, m = probe.train_step(
@@ -472,6 +609,8 @@ def run_depth(args, cfg):
         ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
         if (step + 1) % args.eval_interval == 0 or step == total - 1:
             evaluate(state, step + 1)
+        ckpt.maybe_save(step, state)
+    ckpt.close()
 
 
 def run_det(args, cfg):
@@ -551,11 +690,16 @@ def run_det(args, cfg):
         logger.info(f"[eval @ {step}] {res}")
 
     key = jax.random.PRNGKey(args.seed)
-    for step, batch in enumerate(
-        ml.log_every(loader, 50, header="DetProbe", n_iterations=total)
+    ckpt = ProbeCheckpointer(args, total, metrics_path, logger)
+    for i, batch in enumerate(
+        ml.log_every(loader, 50, header="DetProbe",
+                     n_iterations=total - ckpt.start)
     ):
+        step = ckpt.start + i
         if state is None:
             state = probe.init_state(jnp.asarray(batch["image"]))
+            if ckpt.start:
+                state = ckpt.restore(state)
         if step >= total:
             break
         state, m = probe.train_step(
@@ -566,6 +710,8 @@ def run_det(args, cfg):
         ml.update(loss=float(m["loss"]), lr=float(m["lr"]))
         if (step + 1) % args.eval_interval == 0 or step == total - 1:
             evaluate(state, step + 1)
+        ckpt.maybe_save(step, state)
+    ckpt.close()
 
 
 def main():

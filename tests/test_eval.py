@@ -448,3 +448,54 @@ def test_seg_predict_logits_mesh_matches_single_device(rng):
         outs.append([np.asarray(m) for m in maps])
     for a, b in zip(*outs):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+class TestDepthSlideInference:
+    """depth_slide_inference (DepthEncoderDecoder.slide counterpart,
+    reference evaluation/depth/models/depther/encoder_decoder.py:146-259)."""
+
+    def test_matches_whole_for_content_local_fn(self, rng):
+        import jax.numpy as jnp
+
+        from dvt_tpu.eval.depth import depth_slide_inference
+
+        img = rng.standard_normal((10, 12, 3)).astype(np.float32)
+        fn = lambda b: jnp.asarray(b)[..., 0] ** 2 + jnp.asarray(b)[..., 1]
+        out = depth_slide_inference(fn, img, crop=(6, 6), stride=(4, 4))
+        expected = np.asarray(fn(img[None]))[0]
+        np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+
+    def test_crop_larger_than_image_is_single_window(self, rng):
+        import jax.numpy as jnp
+
+        from dvt_tpu.eval.depth import depth_slide_inference
+
+        img = rng.standard_normal((8, 9, 3)).astype(np.float32)
+        calls = []
+
+        def fn(b):
+            calls.append(np.asarray(b).shape)
+            return jnp.asarray(b)[..., 0]
+
+        out = depth_slide_inference(fn, img, crop=(32, 32), stride=(16, 16))
+        assert calls == [(1, 8, 9, 3)]  # crop clamped to the image
+        np.testing.assert_allclose(out, img[..., 0])
+
+    def test_overlap_regions_average_window_predictions(self, rng):
+        """Windows that disagree on their overlap must be count-averaged
+        (the reference's preds/count division)."""
+        import jax.numpy as jnp
+
+        from dvt_tpu.eval.depth import depth_slide_inference
+
+        img = rng.standard_normal((4, 10, 3)).astype(np.float32)
+        # each window predicts a CONSTANT map (its own mean) so overlap
+        # zones expose the averaging
+        fn = lambda b: jnp.full(jnp.asarray(b).shape[:3],
+                                jnp.mean(jnp.asarray(b)))
+        out = depth_slide_inference(fn, img, crop=(4, 6), stride=(4, 4))
+        m0 = img[:, 0:6].mean()
+        m1 = img[:, 4:10].mean()
+        np.testing.assert_allclose(out[:, 0:4], m0, rtol=1e-6)
+        np.testing.assert_allclose(out[:, 4:6], (m0 + m1) / 2, rtol=1e-6)
+        np.testing.assert_allclose(out[:, 6:10], m1, rtol=1e-6)
