@@ -26,8 +26,11 @@ from dvt_tpu.stage1 import Stage1Config, _chunk_batch, _init_batch
 
 V, h, w, C = 768, 37, 37, 768
 ITERS = 160
+# the r3-validated bench defaults (12-level grid + 4-of-8 level dropout) -
+# the config the "fits per chip" scaling claim must hold for
 CFG = Stage1Config(optimizer_impl="fused", moments_dtype=jnp.bfloat16,
-                   stochastic_corners=True, table_sweep_every=16)
+                   stochastic_corners=True, table_sweep_every=16,
+                   n_levels=12, level_sample=4)
 
 sizes = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
 k = jax.random.PRNGKey(0)
@@ -39,7 +42,7 @@ for n in sizes:
     keys = jax.random.split(jax.random.PRNGKey(1), n)
     data[n] = (raw, coords)
     t0 = time.time()
-    states[n] = _init_batch(keys, raw, coords, CFG)
+    states[n] = _init_batch(keys, CFG)
     s, l = _chunk_batch(states[n], raw, coords, CFG,
                         jnp.asarray(0, jnp.int32), ITERS)
     np.asarray(l[0, -1])
