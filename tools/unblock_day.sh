@@ -116,9 +116,13 @@ else
   printf '%s\n' "$all_imgs" | head -n "$N_IMAGES" \
     | sed 's#^#JPEGImages/#' > "$WORK/img_list.txt"
 fi
+# --output_dir keeps stage-1 visualizations under $WORK (the default
+# ./work_dirs/demo is the in-tree demo output; a rehearsal must not
+# overwrite it)
 python main_img_denoising.py --model "$MODEL" \
   --img_path "$WORK/img_list.txt" --data_root "$VOC_ROOT" \
-  --save_root "$WORK/feats" --num_imgs "$N_IMAGES" "${S1_ARGS[@]}"
+  --save_root "$WORK/feats" --num_imgs "$N_IMAGES" \
+  --output_dir "$WORK/s1_vis" "${S1_ARGS[@]}"
 
 if [ -n "${REF_FEATS:-}" ]; then
   log "cosine vs the reference's published stage-1 .npy dumps"
