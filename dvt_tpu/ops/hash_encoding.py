@@ -342,6 +342,102 @@ def subsample_fine_levels(plan: dict, key: jax.Array, keep: int) -> dict:
     return out
 
 
+def _batch_row_offsets(n: int, entries: int, trailing_ndim: int):
+    off = jnp.arange(n, dtype=jnp.int32) * entries
+    return off.reshape((n,) + (1,) * trailing_ndim)
+
+
+def _use_flat_vmap() -> bool:
+    # A/B escape hatch (tools/ab_batchsize.py): DVT_FLAT_VMAP=0 restores
+    # XLA's default operand-batch-dim lowering. Read at trace time.
+    import os
+
+    return os.environ.get("DVT_FLAT_VMAP", "1") != "0"
+
+
+@jax.custom_batching.custom_vmap
+def _gather_rows_flat(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """``jnp.take(table, idx, axis=0)`` with a flattening vmap rule.
+
+    Under ``vmap`` (one table per image in the stage-1 fit), XLA's default
+    batching gives the gather/scatter an operand batch dimension, which the
+    TPU backend executes per-batch-element instead of as one flat row
+    stream — the measured reason vmapped N=2/4 fits cost MORE per image
+    than N=1 (PLAN.md round-2 finding 0b). The rule here reshapes the N
+    ``(E, ...)`` tables to one ``(N*E, ...)`` table and offsets each
+    image's indices by ``image * E``, so the lowering is identical to the
+    unbatched fit's flat 1-D gather and per-image cost stays flat in N.
+
+    Only for NON-differentiated uses (row gathers feeding
+    ``hash_encode_from``, per-step data batch picks, gradient scatters):
+    ``custom_vmap`` does not compose with autodiff.
+    """
+    return jnp.take(table, idx, axis=0)
+
+
+@_gather_rows_flat.def_vmap
+def _gather_rows_vmap(axis_size, in_batched, table, idx):
+    t_b, i_b = in_batched
+    if not t_b:  # shared table: already a flat gather over larger idx
+        return jnp.take(table, idx, axis=0), bool(i_b)
+    n, entries = table.shape[0], table.shape[1]
+    flat = table.reshape((n * entries,) + table.shape[2:])
+    if i_b:
+        out = jnp.take(
+            flat, idx + _batch_row_offsets(n, entries, idx.ndim - 1), axis=0
+        )
+    else:
+        out = jnp.take(
+            flat, idx[None] + _batch_row_offsets(n, entries, idx.ndim),
+            axis=0,
+        )
+    return out, True
+
+
+@jax.custom_batching.custom_vmap
+def _scatter_add_rows_flat(acc: jax.Array, idx: jax.Array,
+                           vals: jax.Array) -> jax.Array:
+    """``acc.at[idx].add(vals)`` (idx 1-D) with a flattening vmap rule.
+
+    Same trap/fix as :func:`gather_rows`, for the backward direction: the
+    batched scatter-add of per-image row gradients into per-image tables
+    runs as one flat scatter into the ``(N*E, ...)`` view. NON-
+    differentiated uses only (it applies accumulated gradients).
+    """
+    return acc.at[idx].add(vals)
+
+
+@_scatter_add_rows_flat.def_vmap
+def _scatter_add_rows_vmap(axis_size, in_batched, acc, idx, vals):
+    a_b, i_b, v_b = in_batched
+    if not a_b:
+        acc = jnp.broadcast_to(acc, (axis_size,) + acc.shape)
+    n, entries = acc.shape[0], acc.shape[1]
+    if not i_b:
+        idx = jnp.broadcast_to(idx, (n,) + idx.shape)
+    if not v_b:
+        vals = jnp.broadcast_to(vals, (n,) + vals.shape)
+    flat = acc.reshape((n * entries,) + acc.shape[2:])
+    rows = (idx + _batch_row_offsets(n, entries, idx.ndim - 1)).reshape(-1)
+    flat = flat.at[rows].add(vals.reshape((-1,) + vals.shape[2:]))
+    return flat.reshape(acc.shape), True
+
+
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Non-differentiated row gather; flat-lowering under vmap by default."""
+    if _use_flat_vmap():
+        return _gather_rows_flat(table, idx)
+    return jnp.take(table, idx, axis=0)
+
+
+def scatter_add_rows(acc: jax.Array, idx: jax.Array,
+                     vals: jax.Array) -> jax.Array:
+    """Non-differentiated row scatter-add; flat-lowering under vmap."""
+    if _use_flat_vmap():
+        return _scatter_add_rows_flat(acc, idx, vals)
+    return acc.at[idx].add(vals)
+
+
 def hash_gather_rows(table: jax.Array, plan: dict) -> jax.Array:
     """Gather the fine-level corner rows: (N, Lg, C, F), C in {1, 4}.
 
@@ -349,7 +445,7 @@ def hash_gather_rows(table: jax.Array, plan: dict) -> jax.Array:
     ``hash_encode_from`` as a differentiable argument, so d(loss)/d(rows)
     comes out of autodiff as dense row values ready for a batched
     scatter-add into the table gradient."""
-    return jnp.take(table, plan["fine_idx"], axis=0)
+    return gather_rows(table, plan["fine_idx"])
 
 
 def _coarse_slots_fine_slots(spec: HashGridSpec):

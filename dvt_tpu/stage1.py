@@ -390,9 +390,11 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
     """
     from dvt_tpu.ops.fused_adam import fused_adam_update, fused_adam_update_xla
     from dvt_tpu.ops.hash_encoding import (
+        gather_rows,
         hash_encode_from,
         hash_gather_rows,
         hash_plan,
+        scatter_add_rows,
         subsample_fine_levels,
     )
 
@@ -433,8 +435,9 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
             phase2 = step > freeze_after
             skey = jax.random.fold_in(loop_key, step)
             idx = jax.random.randint(skey, (cfg.pixel_bsz,), 0, pool)
-            raw = raw_flat[idx].astype(cfg.compute_dtype)
-            coords = coords_flat[idx]
+            # gather_rows: flat-lowering batched gather (vmap over images)
+            raw = gather_rows(raw_flat, idx).astype(cfg.compute_dtype)
+            coords = gather_rows(coords_flat, idx)
             art_idx = idx % hw
             corner_key = (jax.random.fold_in(skey, 1)
                           if cfg.stochastic_corners else None)
@@ -491,8 +494,9 @@ def _scan_deferred(loop_key, params, opt_state, raw_flat, coords_flat,
         if coarse_n:
             g_table = g_table.at[:coarse_n].add(acc_coarse[:coarse_n])
         if has_fine:
-            g_table = g_table.at[all_idx.reshape(-1)].add(
-                all_g.reshape(-1, spec.n_features).astype(jnp.float32)
+            g_table = scatter_add_rows(
+                g_table, all_idx.reshape(-1),
+                all_g.reshape(-1, spec.n_features).astype(jnp.float32),
             )
         step_last = (start + super_i * K + K - 1).astype(jnp.float32)
         lr_t = lr_at(cfg, step_last) * cfg.sweep_lr_scale
@@ -539,6 +543,8 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
                 "optimizer_impl 'fused' or 'pallas'")
         return _scan_deferred(loop_key, params, opt_state, raw_flat,
                               coords_flat, cfg, start, length)
+    from dvt_tpu.ops.hash_encoding import gather_rows
+
     denoiser, field = cfg.modules()
     hw = cfg.noise_map_height * cfg.noise_map_width
     pool = cfg.pool_size
@@ -551,8 +557,9 @@ def _scan_single(loop_key, params, opt_state, raw_flat, coords_flat,
         phase2 = step > freeze_after
         skey = jax.random.fold_in(loop_key, step)
         idx = jax.random.randint(skey, (cfg.pixel_bsz,), 0, pool)
-        raw = raw_flat[idx].astype(cfg.compute_dtype)
-        coords = coords_flat[idx]
+        # flat-lowering batched gather under vmap over images
+        raw = gather_rows(raw_flat, idx).astype(cfg.compute_dtype)
+        coords = gather_rows(coords_flat, idx)
         art_idx = idx % hw
         corner_key = (jax.random.fold_in(skey, 1)
                       if cfg.stochastic_corners else None)

@@ -164,6 +164,54 @@ class TestHashEncoding:
         ref0 = hash_encode(tables[0], coords[0], spec)
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0), atol=1e-6)
 
+    def test_flat_vmap_gather_scatter_match_default_batching(self, rng):
+        # gather_rows/scatter_add_rows flatten the image batch into the row
+        # dim under vmap (the stage-1 N-fits-per-chip lowering); every
+        # batching combo must equal XLA's default operand-batch-dim rule.
+        from dvt_tpu.ops.hash_encoding import gather_rows, scatter_add_rows
+
+        k = jax.random.PRNGKey(0)
+        t = jax.random.normal(k, (3, 64, 8))
+        i4 = jax.random.randint(jax.random.fold_in(k, 1),
+                                (3, 10, 2, 4), 0, 64)
+        si = jax.random.randint(jax.random.fold_in(k, 2), (3, 20), 0, 64)
+        v = jax.random.normal(jax.random.fold_in(k, 3), (3, 20, 8))
+
+        plain_g = lambda tt, ii: jnp.take(tt, ii, axis=0)
+        plain_s = lambda aa, ii, vv: aa.at[ii].add(vv)
+        cases = [
+            (jax.vmap(gather_rows)(t, i4),
+             jax.vmap(plain_g)(t, i4)),
+            (jax.vmap(gather_rows, in_axes=(None, 0))(t[0], i4),
+             jax.vmap(plain_g, in_axes=(None, 0))(t[0], i4)),
+            (jax.vmap(gather_rows, in_axes=(0, None))(t, i4[0]),
+             jax.vmap(plain_g, in_axes=(0, None))(t, i4[0])),
+            (jax.vmap(scatter_add_rows)(t, si, v),
+             jax.vmap(plain_s)(t, si, v)),
+            (jax.vmap(scatter_add_rows, in_axes=(0, None, 0))(t, si[0], v),
+             jax.vmap(plain_s, in_axes=(0, None, 0))(t, si[0], v)),
+            (jax.vmap(scatter_add_rows, in_axes=(None, 0, 0))(t[0], si, v),
+             jax.vmap(plain_s, in_axes=(None, 0, 0))(t[0], si, v)),
+            (gather_rows(t[0], si[0]), plain_g(t[0], si[0])),
+        ]
+        for got, want in cases:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        # composes under jit(vmap(scan(.)))
+        def body(c, _):
+            return scatter_add_rows(c, si[0], v[0]), None
+
+        out = jax.jit(jax.vmap(
+            lambda a: jax.lax.scan(body, a, None, length=3)[0]
+        ))(t)
+        ref = jax.jit(jax.vmap(
+            lambda a: jax.lax.scan(
+                lambda c, _: (plain_s(c, si[0], v[0]), None), a, None,
+                length=3)[0]
+        ))(t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6)
+
     def test_interpolation_is_continuous(self, rng):
         spec = HashGridSpec(n_levels=4, base_resolution=4, max_resolution=32,
                             log2_hashmap_size=10, n_features=2)
