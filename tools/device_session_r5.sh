@@ -84,7 +84,10 @@ if [ "${DECOMP:-0}" = "1" ]; then
     python bench_stage23.py
 fi
 run stage23 7200 python bench_stage23.py
-run ab_batchsize 3600 python tools/ab_batchsize.py 1 2 4
+# vmap-scaling A/B (VERDICT r4 Weak #4): flat custom_vmap lowering vs the
+# default batched gather/scatter, same session, same config
+run ab_batchsize_flat 3600 env DVT_FLAT_VMAP=1 python tools/ab_batchsize.py 1 2 4
+run ab_batchsize_default 3600 env DVT_FLAT_VMAP=0 python tools/ab_batchsize.py 1 2 4
 run bench 2400 python bench.py
 
 # short gauge: det step time this session (drives the DET_FULL go/no-go)
