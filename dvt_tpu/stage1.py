@@ -3,9 +3,12 @@
 The reference fits ONE image per GPU process (sample_scripts/stage1.sh,
 main_img_denoising.py:28-146): 768 ViT views -> 25k Adam steps on a tiny
 (field + artifact + residual) model. On TPU the idiomatic win is to keep the
-whole 25k-step fit inside a single compiled ``lax.scan`` and ``vmap`` it over
-a batch of independent images, sharding the image batch across the mesh -
-hundreds of per-image fits run concurrently per chip with zero host traffic.
+whole 25k-step fit inside a single compiled ``lax.scan`` with zero host
+traffic; ``vmap`` over a batch of independent images is supported and
+measured ~94% per-image efficient (N=4 1.80 vs N=1 1.69 ms/iter/image,
+RESULTS.md §9d), so the fit is row-count/HBM-bound and a single chip gains
+nothing from in-chip concurrency — throughput scales by sharding the image
+LIST across chips/hosts (``--num_shards/--shard_id``), one fit per chip.
 
 Faithfulness notes (all vs main_img_denoising.py):
   * Adam(lr cosine 0.01 -> 0.001, warmup 2500, eps=1e-15, betas (0.9, 0.99),
