@@ -53,8 +53,11 @@ class Stage1Engine:
     extract_bsz: int = 128  # measured default (tools/ab_extract.py:
     # 4.37 -> 3.64 s/768 views at feature cosine 1.0); clamped below to
     # the largest divisor of num_views
-    images_per_batch: int = 4  # max vmap width per fit dispatch;
-    # denoise_batch chunks larger inputs into groups of this size
+    images_per_batch: int = 1  # max vmap width per fit dispatch;
+    # denoise_batch chunks larger inputs into groups of this size.
+    # 1 is the measured per-chip throughput optimum (RESULTS.md 9d:
+    # vmapped fits are ~94% per-image efficient, so in-chip concurrency
+    # never beats sequential fits); raise only to amortize dispatches
     fit_chunk_iters: int = 5000  # steps per dispatch (watchdog-friendly)
     feature_dtype: str = "bfloat16"  # pool storage dtype
     moments_dtype: str = "bfloat16"  # Adam moment storage in the fit

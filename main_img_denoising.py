@@ -48,8 +48,11 @@ def get_args():
     # 1.0 vs 32 (tools/ab_extract.py) - a pure lax.map chunk-width change.
     p.add_argument("--extract_bsz", type=int, default=128)
     p.add_argument("--pixel_bsz", type=int, default=2048)
-    p.add_argument("--images_per_batch", type=int, default=4,
-                   help="images fitted concurrently per chip (vmap width)")
+    p.add_argument("--images_per_batch", type=int, default=1,
+                   help="images fitted concurrently per chip (vmap width); "
+                        "1 is the measured per-chip throughput optimum "
+                        "(RESULTS.md 9d) - raise only to amortize host "
+                        "dispatches at a ~6% per-image cost")
     p.add_argument("--checkpoint_path", type=str, default=None,
                    help="torch .pth backbone weights to convert+load")
     p.add_argument("--feature_dtype", type=str, default="bfloat16",
