@@ -348,11 +348,17 @@ def _batch_row_offsets(n: int, entries: int, trailing_ndim: int):
 
 
 def _use_flat_vmap() -> bool:
-    # A/B escape hatch (tools/ab_batchsize.py): DVT_FLAT_VMAP=0 restores
-    # XLA's default operand-batch-dim lowering. Read at trace time.
+    # Opt-in (DVT_FLAT_VMAP=1): the flat lowering is CPU-equivalence-tested
+    # but its only device outing so far died at first materialization
+    # (FAILED_PRECONDITION, logs/r5_device/ab_batchsize_flat.log) and the
+    # default lowering's measured vmap penalty is just 6.5%/image at the
+    # 1.69 ms/iter operating point with a default vmap width of 1
+    # (RESULTS.md 9d) — so the three-rounds-device-proven default lowering
+    # stays the default until the flat arm is measured healthy on device.
+    # Read at trace time.
     import os
 
-    return os.environ.get("DVT_FLAT_VMAP", "1") != "0"
+    return os.environ.get("DVT_FLAT_VMAP", "0") == "1"
 
 
 @jax.custom_batching.custom_vmap
