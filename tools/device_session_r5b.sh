@@ -71,7 +71,7 @@ run det_gauge2 1800 python evaluate_dense_tasks.py voc_det \
   --work_dir work_dirs/r5_det_gauge
 
 # 2. windowed-attention detection: the >=1k-iter learning run (VERDICT #5)
-retry_until det_window 7200 6 \
+retry_until det_window "${WIN_TO:-1800}" 6 \
   work_dirs/r5_det_window/eval_metrics.json '"iteration": 1000' \
   python evaluate_dense_tasks.py voc_det \
   --data_root /tmp/dvt_synth/voc --num_iterations 1000 --eval_interval 250 \
@@ -85,7 +85,7 @@ run bench2 2400 python bench.py
 
 # 4. flat-vmap A/B retry (part-a arm died on post-wedge FAILED_PRECONDITION
 # before its first number; default arm is already recorded)
-run ab_flat2 3600 env DVT_FLAT_VMAP=1 python tools/ab_batchsize.py 1 2 4
+run ab_flat2 "${FLAT_TO:-1800}" env DVT_FLAT_VMAP=1 python tools/ab_batchsize.py 1 2 4
 
 # 5. full-recipe detection, resumable, bounded by the round deadline
 DEADLINE=${DET_DEADLINE:-$(($(date +%s) + 14400))}
